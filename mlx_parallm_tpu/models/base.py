@@ -1,0 +1,114 @@
+"""Model-layer foundations: config base + static-capacity KV cache slab.
+
+TPU-native redesign of the reference's cache hierarchy (reference:
+/root/reference/mlx_parallm/models/base.py:42-149). The reference grows caches
+by concatenating 256-token zero blocks and loops over batch rows in Python for
+per-row offsets; under XLA both are non-starters (dynamic shapes / host loops).
+Here the cache is ONE preallocated slab per K and V,
+
+    k, v: (num_layers, B, capacity, n_kv_heads, head_dim)
+
+with a per-row ``lengths`` vector. Writes use a vmapped
+``lax.dynamic_update_slice`` at each row's own offset — the static-shape
+equivalent of the reference's ``PagedKVCache.update_and_fetch`` — and validity
+is enforced in the attention mask from ``lengths``/offsets, replacing the
+host-built (B, N, S) additive masks of ``create_additive_causal_mask_variable``
+(reference: /root/reference/mlx_parallm/models/base.py:17-40).
+
+The slab layout is chosen for sharding: ``n_kv_heads`` maps onto the tensor-
+parallel mesh axis so decode attention stays local per TP rank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import inspect
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class BaseModelArgs:
+    @classmethod
+    def from_dict(cls, params: Dict[str, Any]):
+        """Filter a config.json dict down to this dataclass's fields
+        (parity with reference models/base.py:151-161)."""
+        sig = inspect.signature(cls)
+        return cls(**{k: v for k, v in params.items() if k in sig.parameters})
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Static-capacity batched KV slab with per-row valid lengths.
+
+    ``k``/``v``: (L, B, S, H_kv, D). ``lengths``: (B,) int32 — number of valid
+    cache entries per row; equivalently, the absolute position offset at which
+    the next token of that row will be written.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    lengths: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+    @staticmethod
+    def init(
+        num_layers: int,
+        batch_size: int,
+        capacity: int,
+        n_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (num_layers, batch_size, capacity, n_kv_heads, head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype=dtype),
+            v=jnp.zeros(shape, dtype=dtype),
+            lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
+        )
+
+    def update_layer(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array
+    ) -> "KVCache":
+        """Write (B, T, H, D) new keys/values at each row's current offset.
+
+        Does NOT advance ``lengths`` — the model apply advances once per
+        forward via ``advance`` so every layer writes at the same offsets.
+        Returns the full (B, S, H, D) slab views for attention.
+        """
+
+        def write_row(buf_row, new_row, off):
+            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
+
+        k_l = jax.vmap(write_row)(self.k[layer], k_new.astype(self.k.dtype), self.lengths)
+        v_l = jax.vmap(write_row)(self.v[layer], v_new.astype(self.v.dtype), self.lengths)
+        new_cache = KVCache(
+            k=self.k.at[layer].set(k_l),
+            v=self.v.at[layer].set(v_l),
+            lengths=self.lengths,
+        )
+        return new_cache
+
+    def advance(self, step_lengths: jax.Array) -> "KVCache":
+        """Advance per-row valid lengths by ``step_lengths`` (B,) tokens."""
+        return KVCache(k=self.k, v=self.v, lengths=self.lengths + step_lengths)
+
+    def select_rows(self, row_idx: jax.Array) -> "KVCache":
+        return KVCache(
+            k=self.k[:, row_idx], v=self.v[:, row_idx], lengths=self.lengths[row_idx]
+        )
+
+
+def make_positions(offsets: jax.Array, t: int) -> jax.Array:
+    """(B,) offsets -> (B, T) absolute positions for a length-T step."""
+    return offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]

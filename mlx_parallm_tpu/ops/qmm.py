@@ -1,0 +1,114 @@
+"""Quantized matmul: y = x @ dequant(W)^T for group-wise affine INT4/INT8 weights.
+
+This is the TPU-native replacement for the reference's reliance on MLX
+``QuantizedLinear`` / ``mx.gather_qmm`` (reference:
+/root/reference/mlx_parallm/models/switch_layers.py:58-67,
+/root/reference/mlx_parallm/utils.py:686-690). Three implementations:
+
+  * ``dequant``  — dequantize-to-float then matmul. Reference-quality; used in
+    tests and as the universal fallback.
+  * ``grouped``  — per-group factored einsum over unpacked int8 values:
+    ``y[b,n] = sum_g scales[n,g] * (x_g . q_g) + sum_g biases[n,g] * sum(x_g)``.
+    Avoids materializing the full dequantized weight matrix in HBM; XLA keeps
+    the (B, G, N) intermediate small for decode-sized B.
+  * ``pallas``   — fused in-VMEM dequant + MXU matmul on packed uint32 weights
+    (see ``ops/qmm_pallas.py``); the speed-of-light decode path on TPU.
+
+Dispatch is automatic: Pallas on TPU when shapes are tile-aligned, else grouped
+when an int8 mirror is present, else dequant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import quant
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def qmm_dequant(x, packed, scales, biases, *, group_size, bits):
+    w = quant.dequantize(packed, scales, biases, group_size, bits, dtype=x.dtype)
+    return x @ w.T
+
+
+def qmm_grouped(x, q_int8, scales, biases, *, group_size, bits):
+    """Grouped factored quantized matmul over an unpacked int8 weight mirror.
+
+    ``x``: (..., K) float; ``q_int8``: (N, K) int8 values in [0, 2**bits);
+    ``scales``/``biases``: (N, G) with G = K // group_size.
+    """
+    *lead, k = x.shape
+    n, k2 = q_int8.shape
+    assert k == k2, (x.shape, q_int8.shape)
+    g = k // group_size
+    xf = x.reshape(-1, g, group_size)
+    qg = q_int8.reshape(n, g, group_size).astype(x.dtype)
+    # (B, G, group) x (N, G, group) -> (G, B, N), batched over G.
+    t = jax.lax.dot_general(
+        xf.transpose(1, 0, 2),
+        qg.transpose(1, 0, 2),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    sc = scales.astype(jnp.float32)
+    y = jnp.einsum("gbn,ng->bn", t, sc)
+    xsum = jnp.sum(xf, axis=-1, dtype=jnp.float32)  # (B, G)
+    y = y + xsum @ biases.astype(jnp.float32).T
+    return y.reshape(*lead, n).astype(x.dtype)
+
+
+def qmm(
+    x,
+    packed,
+    scales,
+    biases,
+    *,
+    group_size: int = quant.DEFAULT_GROUP_SIZE,
+    bits: int = quant.DEFAULT_BITS,
+    q_int8=None,
+    impl: str = "auto",
+):
+    """Quantized linear: ``x @ dequant(W)^T``.
+
+    ``packed`` is the uint32-packed weight ``(N, K*bits//32)``; ``q_int8`` is an
+    optional unpacked int8 mirror ``(N, K)`` enabling the grouped path.
+    """
+    if impl == "auto":
+        if _on_tpu() and packed is not None:
+            from . import qmm_pallas
+
+            if qmm_pallas.supported(x, packed, scales, group_size, bits):
+                impl = "pallas"
+            elif q_int8 is not None:
+                impl = "grouped"
+            else:
+                impl = "dequant"
+        elif q_int8 is not None:
+            impl = "grouped"
+        else:
+            impl = "dequant"
+
+    if impl == "pallas":
+        from . import qmm_pallas
+
+        return qmm_pallas.qmm_pallas(
+            x, packed, scales, biases, group_size=group_size, bits=bits
+        )
+    if impl == "grouped":
+        if q_int8 is None:
+            q_int8 = quant.unpack(packed, bits)
+        return qmm_grouped(
+            x, q_int8, scales, biases, group_size=group_size, bits=bits
+        )
+    if impl == "dequant":
+        return qmm_dequant(
+            x, packed, scales, biases, group_size=group_size, bits=bits
+        )
+    raise ValueError(f"unknown qmm impl: {impl}")

@@ -1,0 +1,114 @@
+"""Group-wise affine weight-only quantization (INT4 / INT8).
+
+Storage layout is wire-compatible with MLX's ``mx.quantize`` so that checkpoints
+converted by the reference stack round-trip into this framework
+(reference: /root/reference/mlx_parallm/models/switch_layers.py:20-28,
+/root/reference/mlx_parallm/utils.py:686-690,904):
+
+  * ``weight``  : ``uint32`` of shape ``(out, in * bits // 32)``. Each uint32 packs
+    ``32 // bits`` consecutive input-dim elements, first element in the least
+    significant bits.
+  * ``scales``  : ``(out, in // group_size)`` float.
+  * ``biases``  : ``(out, in // group_size)`` float.
+  * dequant     : ``w = q * scale + bias`` with ``q`` in ``[0, 2**bits - 1]``.
+
+On TPU, packed ``uint32`` weights are consumed directly by the fused Pallas
+dequant-matmul kernel (see ``ops/qmm.py``); an unpacked ``int8`` mirror can be
+materialised at load time for the XLA grouped-einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_GROUP_SIZE = 64
+DEFAULT_BITS = 4
+
+
+def _check(group_size: int, bits: int, in_features: int) -> None:
+    if bits not in (2, 4, 8):
+        raise ValueError(f"bits must be one of 2/4/8, got {bits}")
+    if in_features % group_size != 0:
+        raise ValueError(
+            f"in_features ({in_features}) must be divisible by group_size ({group_size})"
+        )
+    if group_size % (32 // bits) != 0:
+        raise ValueError(f"group_size {group_size} incompatible with bits {bits}")
+
+
+def quantize(
+    w: jax.Array, group_size: int = DEFAULT_GROUP_SIZE, bits: int = DEFAULT_BITS
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Quantize a float matrix ``(..., K)`` group-wise along the last axis.
+
+    Returns ``(packed_uint32, scales, biases)`` in the MLX-compatible layout.
+    """
+    *lead, k = w.shape
+    _check(group_size, bits, k)
+    n_groups = k // group_size
+    levels = (1 << bits) - 1
+
+    wg = w.reshape(*lead, n_groups, group_size).astype(jnp.float32)
+    w_min = jnp.min(wg, axis=-1)
+    w_max = jnp.max(wg, axis=-1)
+    scale = (w_max - w_min) / levels
+    # Guard degenerate all-equal groups.
+    scale = jnp.where(scale <= 1e-10, jnp.ones_like(scale), scale)
+    bias = w_min
+
+    q = jnp.clip(
+        jnp.round((wg - bias[..., None]) / scale[..., None]), 0, levels
+    ).astype(jnp.uint32)
+
+    packed = pack(q.reshape(*lead, k), bits)
+    return packed, scale.astype(w.dtype), bias.astype(w.dtype)
+
+
+def pack(q: jax.Array, bits: int) -> jax.Array:
+    """Pack integer values in ``[0, 2**bits)`` of shape ``(..., K)`` into uint32.
+
+    Element ``i`` of each 32//bits-sized chunk occupies bits ``[i*bits, (i+1)*bits)``
+    (little-endian within the word), matching MLX.
+    """
+    per_word = 32 // bits
+    *lead, k = q.shape
+    assert k % per_word == 0
+    q = q.astype(jnp.uint32).reshape(*lead, k // per_word, per_word)
+    shifts = (jnp.arange(per_word, dtype=jnp.uint32) * bits).astype(jnp.uint32)
+    return jnp.bitwise_or.reduce(q << shifts, axis=-1)
+
+
+def unpack(packed: jax.Array, bits: int, dtype=jnp.uint8) -> jax.Array:
+    """Unpack uint32-packed weights back to integer values ``(..., K)``."""
+    per_word = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    shifts = (jnp.arange(per_word, dtype=jnp.uint32) * bits).astype(jnp.uint32)
+    vals = (packed[..., None] >> shifts) & mask
+    *lead, words, _ = vals.shape
+    return vals.reshape(*lead, words * per_word).astype(dtype)
+
+
+def dequantize(
+    packed: jax.Array,
+    scales: jax.Array,
+    biases: jax.Array,
+    group_size: int = DEFAULT_GROUP_SIZE,
+    bits: int = DEFAULT_BITS,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Dequantize packed weights back to ``(..., K)`` floats."""
+    q = unpack(packed, bits, dtype=jnp.int32).astype(dtype)
+    *lead, k = q.shape
+    n_groups = k // group_size
+    qg = q.reshape(*lead, n_groups, group_size)
+    w = qg * scales[..., None].astype(dtype) + biases[..., None].astype(dtype)
+    return w.reshape(*lead, k)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "bits"))
+def quantize_jit(w, group_size=DEFAULT_GROUP_SIZE, bits=DEFAULT_BITS):
+    return quantize(w, group_size, bits)

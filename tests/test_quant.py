@@ -1,0 +1,77 @@
+"""Quantization round-trip + quantized matmul parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_parallm_tpu.ops import qmm, quant
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quantize_roundtrip(bits):
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    packed, scales, biases = quant.quantize(w, group_size=64, bits=bits)
+    assert packed.dtype == jnp.uint32
+    assert packed.shape == (32, 128 * bits // 32)
+    assert scales.shape == (32, 2)
+    deq = quant.dequantize(packed, scales, biases, 64, bits)
+    err = jnp.max(jnp.abs(deq - w))
+    # Max quantization error is half a quantization step.
+    max_step = jnp.max(scales)
+    assert err <= max_step * 0.51 + 1e-6
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_pack_unpack_identity(bits):
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(
+        rng.integers(0, 2**bits, size=(8, 64), dtype=np.uint32)
+    )
+    packed = quant.pack(vals, bits)
+    unpacked = quant.unpack(packed, bits, dtype=jnp.uint32)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(vals))
+
+
+def test_numpy_jax_pack_agree():
+    """The tiny-model factory's host-side quantizer must produce the exact
+    same packed layout as ops.quant."""
+    from mlx_parallm_tpu.tools.tiny_model import _np_quantize
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((16, 128)).astype(np.float32)
+    packed_np, scales_np, biases_np = _np_quantize(w, 64, 4)
+    packed_j, scales_j, biases_j = quant.quantize(jnp.asarray(w), 64, 4)
+    np.testing.assert_array_equal(packed_np, np.asarray(packed_j))
+    np.testing.assert_allclose(scales_np, np.asarray(scales_j), rtol=1e-5)
+    np.testing.assert_allclose(biases_np, np.asarray(biases_j), rtol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_qmm_grouped_matches_dequant(bits):
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((48, 192)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((5, 192)).astype(np.float32))
+    packed, scales, biases = quant.quantize(w, group_size=64, bits=bits)
+    y_ref = qmm.qmm_dequant(x, packed, scales, biases, group_size=64, bits=bits)
+    q8 = quant.unpack(packed, bits)
+    y_grouped = qmm.qmm_grouped(x, q8, scales, biases, group_size=64, bits=bits)
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(y_grouped), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_qmm_auto_jit():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    packed, scales, biases = quant.quantize(w, 64, 4)
+
+    @jax.jit
+    def f(x, packed, scales, biases):
+        return qmm.qmm(x, packed, scales, biases, group_size=64, bits=4)
+
+    y = f(x, packed, scales, biases)
+    y_ref = x @ quant.dequantize(packed, scales, biases, 64, 4).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
