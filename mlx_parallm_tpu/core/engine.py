@@ -1,0 +1,346 @@
+"""Batched autoregressive decode engine: jitted prefill + decode steps.
+
+TPU-native redesign of the reference's generation core (reference:
+/root/reference/mlx_parallm/utils.py:315-427 ``generate_step``,
+:983-1081 ``batch_stream_generate_text``, :1087-1346 ``batch_generate_text``).
+
+Key design points (SURVEY §7.2.3, §7.4.2):
+
+  * **Static shapes everywhere.** Batch size and prefill length are bucketed
+    (powers of two / multiples of 64) so XLA compiles a small, reusable set of
+    programs; the KV cache is a fixed-capacity slab per bucket.
+  * **Right-padded ragged batches.** Each row carries its own valid length;
+    the KV cache tracks per-row offsets (replacing the reference's
+    left-padding + variable additive masks).
+  * **Sampling inside the jitted step** with *per-row* temperature / top-p /
+    logit-bias — fixing the reference's "params from the first request in the
+    batch" consolidation (reference server/main.py:933-951, SURVEY §7.5).
+  * **One-step lookahead.** JAX async dispatch plays the role of
+    ``mx.async_eval`` (reference utils.py:420-427): step N+1 is dispatched
+    before step N's tokens are pulled to the host, hiding dispatch latency.
+  * **Buffer donation.** The KV slab is donated to each step so XLA updates it
+    in place instead of allocating a fresh slab per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import KVCache
+from ..ops import sampling
+from .loader import Model
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Per-sequence sampling configuration."""
+
+    temperature: float = 0.0
+    top_p: float = 1.0
+    max_tokens: int = 128
+    logit_bias: Optional[Dict[int, float]] = None
+    seed: Optional[int] = None
+    stop: Optional[List[str]] = None
+
+
+@dataclasses.dataclass
+class StepOutput:
+    """One decode step's result for a batch: per-row token (or None when the
+    row is inactive) and finish reason ('stop' | 'length' | None)."""
+
+    tokens: List[Optional[int]]
+    logprobs: List[Optional[float]]
+    finished: List[Optional[str]]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_batch(b: int, max_b: int) -> int:
+    n = 1
+    while n < b:
+        n *= 2
+    return min(max(n, 1), max(max_b, b))
+
+
+def _bucket_len(t: int) -> int:
+    if t <= 64:
+        return 64
+    return _round_up(t, 128 if t <= 1024 else 512)
+
+
+class DecodeEngine:
+    """Runs bucketed batched generation for one model."""
+
+    def __init__(
+        self,
+        model: Model,
+        tokenizer,
+        *,
+        max_batch_size: int = 8,
+        max_context_length: int = 4096,
+        kv_step: int = 256,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.max_batch_size = max_batch_size
+        self.max_context_length = max_context_length
+        self.kv_step = kv_step
+        self._params_version = -1
+        self._build_jit()
+        # Engine-level metrics (consumed by /debug/metrics).
+        self.metrics = {
+            "prompt_tokens_total": 0,
+            "completion_tokens_total": 0,
+            "prompt_time_total": 0.0,
+            "decode_time_total": 0.0,
+            "last_prompt_tps": 0.0,
+            "last_decode_tps": 0.0,
+        }
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_jit(self):
+        apply_fn = self.model.apply_fn()
+
+        def prefill(params, tokens, lengths, cache):
+            # tokens: (B, T) right-padded; lengths: (B,) valid counts.
+            logits, cache = apply_fn(params, tokens, cache)
+            # apply() advanced lengths by T uniformly; install the true ragged
+            # lengths (garbage KV beyond each row's length is masked/overwritten).
+            cache = KVCache(k=cache.k, v=cache.v, lengths=lengths)
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            return last, cache
+
+        def decode_step(
+            params, cache, last_tokens, temps, top_ps, key, active, logit_bias
+        ):
+            logits, cache = apply_fn(params, last_tokens[:, None], cache)
+            logits = logits[:, 0]
+            # Un-advance inactive rows so finished sequences stop consuming
+            # cache capacity.
+            cache = KVCache(
+                k=cache.k,
+                v=cache.v,
+                lengths=cache.lengths - (1 - active.astype(jnp.int32)),
+            )
+            tokens, logprobs = sampling.sample_tokens(
+                logits, key, temps, top_ps, logit_bias
+            )
+            return tokens, logprobs, logits, cache
+
+        # Donating the cache lets XLA update the KV slab in place.
+        self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        self._decode = jax.jit(decode_step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------ utilities
+
+    def _capacity_for(self, max_prompt: int, max_new: int) -> int:
+        need = max_prompt + max_new + 1
+        return max(self.kv_step, min(_round_up(need, self.kv_step), 65536))
+
+    def _make_cache(self, batch: int, capacity: int) -> KVCache:
+        return KVCache.init(
+            self.model.num_layers,
+            batch,
+            capacity,
+            self.model.n_kv_heads(),
+            self.model.head_dim(),
+        )
+
+    def _logit_bias_array(
+        self, seq_params: Sequence[SamplingParams], b_padded: int
+    ) -> Optional[jnp.ndarray]:
+        if not any(p.logit_bias for p in seq_params):
+            return None
+        vocab = self.model.args.vocab_size
+        bias = np.zeros((b_padded, vocab), dtype=np.float32)
+        for i, p in enumerate(seq_params):
+            if p.logit_bias:
+                for tid, val in p.logit_bias.items():
+                    tid = int(tid)
+                    if 0 <= tid < vocab:
+                        bias[i, tid] = float(val)
+        return jnp.asarray(bias)
+
+    # ---------------------------------------------------------------- core
+
+    def decode_batch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        seq_params: Sequence[SamplingParams],
+    ) -> Iterator[StepOutput]:
+        """Generate for a batch of token prompts; yields one StepOutput per
+        decode step until every row is finished. The first yielded step
+        contains the tokens sampled from the prefill logits."""
+        assert len(prompts) == len(seq_params) and len(prompts) > 0
+        b = len(prompts)
+        b_pad = _bucket_batch(b, self.max_batch_size)
+
+        lengths_list = [max(1, len(p)) for p in prompts]
+        max_len = max(lengths_list)
+        if max_len > self.max_context_length:
+            raise ValueError(
+                f"prompt length {max_len} exceeds max context "
+                f"{self.max_context_length}"
+            )
+        t_pad = _bucket_len(max_len)
+        max_new = max(p.max_tokens for p in seq_params)
+        capacity = self._capacity_for(t_pad, max_new)
+
+        tokens_np = np.zeros((b_pad, t_pad), dtype=np.int32)
+        for i, p in enumerate(prompts):
+            tokens_np[i, : len(p)] = np.asarray(p, dtype=np.int32)
+        lengths_np = np.ones((b_pad,), dtype=np.int32)
+        lengths_np[:b] = lengths_list
+
+        temps = np.zeros((b_pad,), dtype=np.float32)
+        top_ps = np.ones((b_pad,), dtype=np.float32)
+        for i, p in enumerate(seq_params):
+            temps[i] = p.temperature
+            top_ps[i] = p.top_p
+        logit_bias = self._logit_bias_array(seq_params, b_pad)
+
+        seed = next(
+            (p.seed for p in seq_params if p.seed is not None), None
+        )
+        key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() % (2**31))
+
+        cache = self._make_cache(b_pad, capacity)
+
+        t0 = time.perf_counter()
+        last_logits, cache = self._prefill(
+            self.model.params,
+            jnp.asarray(tokens_np),
+            jnp.asarray(lengths_np),
+            cache,
+        )
+        key, sub = jax.random.split(key)
+        first_tokens, first_logprobs = sampling.sample_tokens(
+            last_logits,
+            sub,
+            jnp.asarray(temps),
+            jnp.asarray(top_ps),
+            logit_bias,
+        )
+        first_tokens.block_until_ready()
+        prompt_time = time.perf_counter() - t0
+        n_prompt = int(sum(lengths_list))
+        self.metrics["prompt_tokens_total"] += n_prompt
+        self.metrics["prompt_time_total"] += prompt_time
+        self.metrics["last_prompt_tps"] = n_prompt / max(prompt_time, 1e-9)
+
+        eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
+
+        active = np.zeros((b_pad,), dtype=bool)
+        active[:b] = True
+        n_generated = [0] * b
+        finish = [None] * b
+
+        pending_tokens = first_tokens
+        pending_logprobs = first_logprobs
+        params_snapshot = self.model.params  # re-read each step for hot-swap
+
+        decode_t0 = time.perf_counter()
+        n_decode_steps = 0
+        while True:
+            # Dispatch the next step before syncing the pending one
+            # (one-step lookahead).
+            any_active = active.any()
+            if any_active:
+                key, sub = jax.random.split(key)
+                params_snapshot = self.model.params
+                nxt_tokens, nxt_logprobs, _, cache = self._decode(
+                    params_snapshot,
+                    cache,
+                    pending_tokens,
+                    jnp.asarray(temps),
+                    jnp.asarray(top_ps),
+                    sub,
+                    jnp.asarray(active),
+                    logit_bias,
+                )
+
+            tok_host = np.asarray(jax.device_get(pending_tokens))
+            lp_host = np.asarray(jax.device_get(pending_logprobs))
+
+            out_tokens: List[Optional[int]] = [None] * b
+            out_lps: List[Optional[float]] = [None] * b
+            out_fin: List[Optional[str]] = [None] * b
+            for i in range(b):
+                if not active[i]:
+                    continue
+                tid = int(tok_host[i])
+                out_tokens[i] = tid
+                out_lps[i] = float(lp_host[i])
+                n_generated[i] += 1
+                if tid in eos_ids:
+                    finish[i] = "stop"
+                elif n_generated[i] >= seq_params[i].max_tokens:
+                    finish[i] = "length"
+                if finish[i]:
+                    active[i] = False
+                    out_fin[i] = finish[i]
+            yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
+            n_decode_steps += 1
+
+            if not active.any():
+                break
+            pending_tokens = nxt_tokens
+            pending_logprobs = nxt_logprobs
+
+        decode_time = time.perf_counter() - decode_t0
+        n_completion = int(sum(n_generated))
+        self.metrics["completion_tokens_total"] += n_completion
+        self.metrics["decode_time_total"] += decode_time
+        self.metrics["last_decode_tps"] = n_completion / max(decode_time, 1e-9)
+
+    # ------------------------------------------------------------ prompt lp
+
+    def score_tokens(
+        self, token_rows: Sequence[Sequence[int]]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Teacher-forced per-position logprobs for whole sequences.
+
+        Returns (logprobs (B, T-1), mask (B, T-1)) where logprobs[i, j] is
+        log P(tokens[j+1] | tokens[:j+1]). Backs the perplexity endpoint and
+        logprobs/echo (reference server/main.py:458-659)."""
+        b = len(token_rows)
+        b_pad = _bucket_batch(b, self.max_batch_size)
+        max_len = max(len(r) for r in token_rows)
+        t_pad = _bucket_len(max_len)
+        tokens_np = np.zeros((b_pad, t_pad), dtype=np.int32)
+        mask = np.zeros((b_pad, t_pad), dtype=bool)
+        for i, r in enumerate(token_rows):
+            tokens_np[i, : len(r)] = np.asarray(r, dtype=np.int32)
+            mask[i, : len(r)] = True
+
+        logprobs = _score_jit(
+            self.model.apply_fn(),
+            self.model.params,
+            jnp.asarray(tokens_np),
+            self._make_cache(b_pad, t_pad),
+        )
+        lp = np.asarray(jax.device_get(logprobs))
+        return lp[:b, : max_len - 1], mask[:b, 1:max_len]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _score_jit(apply_fn, params, tokens, cache):
+    logits, _ = apply_fn(params, tokens, cache)
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nxt = tokens[:, 1:]
+    return jnp.take_along_axis(lsm[:, :-1], nxt[..., None], axis=-1)[..., 0]

@@ -1,0 +1,150 @@
+"""Decode-engine and generation-API tests on the tiny quantized model."""
+
+import numpy as np
+import pytest
+
+from mlx_parallm_tpu.core import generate as G
+from mlx_parallm_tpu.core import loader
+from mlx_parallm_tpu.core.engine import DecodeEngine, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def loaded(tiny_model_dir):
+    return loader.load(tiny_model_dir)
+
+
+def test_greedy_deterministic(loaded):
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    prompt = tok.encode("The quick brown fox")
+    sp = [SamplingParams(temperature=0.0, max_tokens=8)]
+
+    def run():
+        toks = []
+        for step in engine.decode_batch([prompt], sp):
+            if step.tokens[0] is not None:
+                toks.append(step.tokens[0])
+        return toks
+
+    a, b = run(), run()
+    assert a == b
+    assert 1 <= len(a) <= 8
+
+
+def test_batch_matches_single(loaded):
+    """Greedy decode of a prompt must be identical whether it runs alone or
+    inside a ragged batch (per-row offset correctness end-to-end)."""
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    p1 = tok.encode("The quick brown fox jumps")
+    p2 = tok.encode("Hello")
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    def collect(prompts, n):
+        rows = [[] for _ in range(n)]
+        for step in engine.decode_batch(prompts, [sp] * n):
+            for i, t in enumerate(step.tokens):
+                if t is not None:
+                    rows[i].append(t)
+        return rows
+
+    solo = collect([p1], 1)[0]
+    batched = collect([p1, p2], 2)[0]
+    assert solo == batched
+
+
+def test_max_tokens_and_finish_reason(loaded):
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    sp = [SamplingParams(temperature=0.0, max_tokens=3)]
+    fins = []
+    n = 0
+    for step in engine.decode_batch([tok.encode("abc")], sp):
+        if step.tokens[0] is not None:
+            n += 1
+        fins.append(step.finished[0])
+    assert n <= 3
+    assert fins[-1] in ("length", "stop")
+
+
+def test_logit_bias_forces_token(loaded):
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    forced = 7
+    sp = [
+        SamplingParams(
+            temperature=0.0, max_tokens=4, logit_bias={forced: 1000.0}
+        )
+    ]
+    toks = []
+    for step in engine.decode_batch([tok.encode("xyz")], sp):
+        if step.tokens[0] is not None:
+            toks.append(step.tokens[0])
+    assert all(t == forced for t in toks)
+
+
+def test_sampling_with_temperature_runs(loaded):
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    sp = [SamplingParams(temperature=0.8, top_p=0.9, max_tokens=5, seed=42)]
+    toks = [
+        s.tokens[0]
+        for s in engine.decode_batch([tok.encode("hello")], sp)
+        if s.tokens[0] is not None
+    ]
+    assert len(toks) >= 1
+    assert all(0 <= t < model.args.vocab_size for t in toks)
+
+
+def test_score_tokens_perplexity(loaded):
+    model, tok = loaded
+    engine = DecodeEngine(model, tok)
+    ids = tok.encode("The quick brown fox jumps over the lazy dog.")
+    lp, mask = engine.score_tokens([ids])
+    assert lp.shape[1] == len(ids) - 1
+    avg_nll = -lp[0][mask[0]].mean()
+    assert np.isfinite(avg_nll) and avg_nll > 0
+
+
+def test_generate_api(loaded):
+    model, tok = loaded
+    text = G.generate(model, tok, "Hello", max_tokens=8)
+    assert isinstance(text, str)
+
+
+def test_batch_generate_api(loaded):
+    model, tok = loaded
+    outs = G.batch_generate(
+        model, tok, ["Hello", "The quick"], max_tokens=6, format_prompts_flag=False
+    )
+    assert len(outs) == 2
+    assert all(isinstance(o, str) for o in outs)
+
+
+def test_batch_stream_generate(loaded):
+    model, tok = loaded
+    rows = [tok.encode("Hello world"), tok.encode("abc")]
+    stream = G.batch_stream_generate_text(model, tok, rows, 5)
+    collected = ["", ""]
+    finishes = [None, None]
+    for step in stream:
+        for i, (delta, fin) in enumerate(step):
+            collected[i] += delta
+            if fin and fin != "done":
+                finishes[i] = fin
+    assert all(f in ("stop", "length") for f in finishes)
+
+
+def test_detokenizer_utf8_safety(loaded):
+    _, tok = loaded
+    detok = tok.make_detokenizer()
+    text = "héllo 漢字 🙂 done"
+    ids = tok.encode(text)
+    out = ""
+    for t in ids:
+        detok.add_token(t)
+        out += detok.last_segment
+    detok.finalize()
+    out += detok.last_segment
+    assert "�" not in out
+    assert out == tok.decode(ids, skip_special_tokens=True)
