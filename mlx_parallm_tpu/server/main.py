@@ -1,0 +1,1173 @@
+"""OpenAI-compatible HTTP server over the batched TPU decode engine.
+
+Functional parity with the reference's FastAPI app (reference:
+/root/reference/mlx_parallm/server/main.py): endpoints ``/health``,
+``/debug/metrics``, ``/v1/models``, ``/v1/completions`` (stream/non-stream,
+``n``, logprobs, echo, logit_bias), ``/v1/chat/completions``
+(stream/non-stream), ``/v1/perplexity``; dynamic batching worker + co-batched
+streaming worker + continuous scheduler; metrics dict with the reference's
+field names.
+
+Built on aiohttp (FastAPI/uvicorn are not available in this environment);
+the HTTP surface (paths, JSON shapes, SSE framing incl. the ``data: [DONE]``
+terminator) is byte-compatible.
+
+Improvements over the reference (SURVEY §7.5): per-request sampling params are
+honored inside one batch (the reference consolidates from the first request,
+server/main.py:933-951); ``n>1`` uses independent RNG rows instead of
+zero-width-space prompt perturbation (reference :1001-1012).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+from aiohttp import web
+
+from ..core import generate as G
+from ..core import loader
+from ..core.engine import DecodeEngine, SamplingParams
+from . import state
+from .schemas import (
+    ChatCompletionChoice,
+    ChatCompletionChunk,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    ChatCompletionStreamChoice,
+    ChatMessage,
+    CompletionChoice,
+    CompletionChunk,
+    CompletionRequest,
+    CompletionResponse,
+    CompletionStreamChoice,
+    DeltaMessage,
+    InternalModelRecord,
+    LogProbs,
+    ModelList,
+    ModelStatus,
+    PerplexityRequest,
+    PerplexityResponse,
+    UsageInfo,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    """Server configuration (parity: reference cli.py:15-32 flags + env
+    fallbacks server/main.py:134-164)."""
+
+    model_path: str = ""
+    host: str = "127.0.0.1"
+    port: int = 8000
+    lora_path: Optional[str] = None
+    max_batch_size: int = 8
+    batch_timeout: float = 0.1
+    request_timeout_seconds: float = 86400.0
+    max_concurrent_streams: int = 4
+    scheduler: str = "default"  # "default" | "continuous"
+    diverse_mode: bool = False
+    max_context_length: int = 32768
+
+    @classmethod
+    def from_env(cls) -> "ServerArgs":
+        model = (
+            os.environ.get("MLX_PARALLM_MODEL")
+            or os.environ.get("MODEL_PATH")
+            or os.environ.get("MODEL")
+            or ""
+        )
+        return cls(
+            model_path=model,
+            max_batch_size=int(os.environ.get("MAX_BATCH_SIZE", 8)),
+            batch_timeout=float(os.environ.get("BATCH_TIMEOUT", 0.1)),
+            request_timeout_seconds=float(
+                os.environ.get("REQUEST_TIMEOUT_SECONDS", 86400)
+            ),
+            max_concurrent_streams=int(
+                os.environ.get("MAX_CONCURRENT_STREAMS", 4)
+            ),
+            scheduler=os.environ.get("SCHEDULER", "default"),
+            diverse_mode=os.environ.get("DIVERSE_MODE", "") in ("1", "true"),
+            max_context_length=int(
+                os.environ.get("MAX_CONTEXT_LENGTH", 32768)
+            ),
+        )
+
+
+# Module-global CLI hand-off (parity: reference cli.py:13).
+current_server_args: Optional[ServerArgs] = None
+
+
+METRICS: Dict[str, Any] = {
+    "batches_processed": 0,
+    "batch_fill_total": 0.0,
+    "batch_fill_histogram": [0] * 10,
+    "queue_depth": 0,
+    "stream_batches": 0,
+    "prompt_tokens_total": 0,
+    "prompt_time_total": 0.0,
+    "decode_tokens_total": 0,
+    "decode_time_total": 0.0,
+    "last_prompt_tps": 0.0,
+    "last_decode_tps": 0.0,
+    "requests_total": 0,
+}
+
+
+def _record_batch_fill(n: int, cap: int) -> None:
+    METRICS["batches_processed"] += 1
+    fill = n / max(cap, 1)
+    METRICS["batch_fill_total"] += fill
+    bucket = min(int(fill * 10), 9)
+    METRICS["batch_fill_histogram"][bucket] += 1
+
+
+def _sync_engine_metrics(engine: DecodeEngine) -> None:
+    m = engine.metrics
+    METRICS["prompt_tokens_total"] = m["prompt_tokens_total"]
+    METRICS["prompt_time_total"] = m["prompt_time_total"]
+    METRICS["decode_tokens_total"] = m["completion_tokens_total"]
+    METRICS["decode_time_total"] = m["decode_time_total"]
+    METRICS["last_prompt_tps"] = m["last_prompt_tps"]
+    METRICS["last_decode_tps"] = m["last_decode_tps"]
+
+
+# ------------------------------------------------------------- queue items
+
+
+@dataclasses.dataclass
+class QueuedRequest:
+    """Non-streaming request waiting for the batch worker
+    (parity: reference server/main.py:92-99)."""
+
+    request: Any  # CompletionRequest | ChatCompletionRequest
+    prompt: str
+    future: asyncio.Future
+    n: int
+    max_tokens: int
+    is_chat: bool
+    created: float = dataclasses.field(default_factory=time.time)
+
+
+@dataclasses.dataclass
+class StreamQueuedChat:
+    """Streaming chat request with a per-client delta queue
+    (parity: reference server/main.py:86-90)."""
+
+    request: ChatCompletionRequest
+    prompt: str
+    queue: asyncio.Queue
+    created: float = dataclasses.field(default_factory=time.time)
+
+
+DONE_SENTINEL = "__DONE__"
+
+
+# ----------------------------------------------------------------- helpers
+
+
+def _get_record(model_id: str) -> Optional[InternalModelRecord]:
+    rec = state.model_registry.get(model_id)
+    if rec is None and state.model_registry:
+        # Accept the single loaded model under any alias the client sends?
+        # No — reference 404s unknown models. Only exact id matches.
+        return None
+    return rec
+
+
+def _sp_from_request(req, max_tokens: int, seed_offset: int = 0) -> SamplingParams:
+    logit_bias = None
+    if getattr(req, "logit_bias", None):
+        logit_bias = {int(k): float(v) for k, v in req.logit_bias.items()}
+    seed = getattr(req, "seed", None)
+    if seed is not None:
+        seed = seed + seed_offset
+    return SamplingParams(
+        temperature=req.temperature or 0.0,
+        top_p=req.top_p if req.top_p is not None else 1.0,
+        max_tokens=max_tokens,
+        logit_bias=logit_bias,
+        seed=seed,
+    )
+
+
+def _validate_prompt_len(
+    record: InternalModelRecord, prompt: str, max_tokens: int, args: ServerArgs
+) -> Optional[str]:
+    """Reject prompts that cannot fit (parity: reference
+    server/main.py:374-401). Returns an error message or None."""
+    tok = record.tokenizer_instance
+    n_tokens = len(G.encode_cached(tok, prompt))
+    limit = args.max_context_length - max_tokens
+    if n_tokens > limit:
+        return (
+            f"Prompt has {n_tokens} tokens which exceeds the limit of "
+            f"{limit} (max_context_length {args.max_context_length} - "
+            f"max_tokens {max_tokens})"
+        )
+    if n_tokens > 0.9 * limit:
+        logger.warning(
+            "Prompt length %d is above 90%% of the limit %d", n_tokens, limit
+        )
+    return None
+
+
+def _json_error(status: int, message: str) -> web.Response:
+    return web.json_response(
+        {"error": {"message": message, "type": "invalid_request_error"}},
+        status=status,
+    )
+
+
+# ------------------------------------------------------------ app factory
+
+
+def create_app(args: Optional[ServerArgs] = None) -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app["args"] = args
+    app["request_queue"] = asyncio.Queue()
+    app["stream_chat_queue"] = asyncio.Queue()
+    app["workers"] = []
+
+    app.router.add_get("/health", health_check)
+    app.router.add_get("/debug/metrics", debug_metrics)
+    app.router.add_get("/v1/models", list_models_endpoint)
+    app.router.add_post("/v1/completions", create_completion)
+    app.router.add_post("/v1/chat/completions", create_chat_completion)
+    app.router.add_post("/v1/perplexity", compute_perplexity)
+
+    app.on_startup.append(startup_event)
+    app.on_cleanup.append(cleanup_event)
+    return app
+
+
+async def startup_event(app: web.Application) -> None:
+    """Load + register the model, then spawn scheduler workers
+    (parity: reference server/main.py:102-216)."""
+    args: Optional[ServerArgs] = app["args"] or current_server_args
+    if args is None:
+        args = ServerArgs.from_env()
+    if not args.model_path:
+        env_args = ServerArgs.from_env()
+        if env_args.model_path:
+            args = env_args
+    app["args"] = args
+    if not args.model_path:
+        logger.error("No model path configured; server will have no models")
+        return
+
+    model_id = args.model_path
+    record = InternalModelRecord(
+        model_id=model_id, model_path=args.model_path, status=ModelStatus.LOADING
+    )
+    state.model_registry[model_id] = record
+
+    loop = asyncio.get_running_loop()
+    app["streaming_semaphore"] = asyncio.Semaphore(args.max_concurrent_streams)
+
+    def _load():
+        return loader.load(args.model_path, adapter_path=args.lora_path)
+
+    try:
+        model, tokenizer = await loop.run_in_executor(None, _load)
+        record.model_instance = model
+        record.tokenizer_instance = tokenizer
+        record.engine_instance = DecodeEngine(
+            model,
+            tokenizer,
+            max_batch_size=args.max_batch_size,
+            max_context_length=args.max_context_length,
+        )
+        record.adapter_path = args.lora_path
+        record.status = ModelStatus.LOADED
+        logger.info("Model %s loaded", model_id)
+    except Exception as e:  # pragma: no cover
+        record.status = ModelStatus.ERROR_LOADING
+        record.error_message = str(e)
+        logger.exception("Failed to load model %s", model_id)
+        return
+
+    if args.scheduler == "continuous":
+        app["workers"].append(
+            asyncio.create_task(continuous_scheduler_worker(app))
+        )
+    else:
+        app["workers"].append(asyncio.create_task(batch_processing_worker(app)))
+        app["workers"].append(asyncio.create_task(streaming_batch_worker(app)))
+
+
+async def cleanup_event(app: web.Application) -> None:
+    for task in app["workers"]:
+        task.cancel()
+    for task in app["workers"]:
+        try:
+            await task
+        except (asyncio.CancelledError, Exception):
+            pass
+
+
+# ------------------------------------------------------------- endpoints
+
+
+async def health_check(request: web.Request) -> web.Response:
+    return web.json_response({"status": "ok"})
+
+
+async def debug_metrics(request: web.Request) -> web.Response:
+    rec = state.get_active_record()
+    if rec and rec.engine_instance:
+        _sync_engine_metrics(rec.engine_instance)
+    m = dict(METRICS)
+    n = max(m["batches_processed"], 1)
+    m["avg_batch_fill"] = m["batch_fill_total"] / n
+    m["queue_depth"] = request.app["request_queue"].qsize()
+    avg_prompt = m["prompt_tokens_total"] / max(m["prompt_time_total"], 1e-9)
+    avg_decode = m["decode_tokens_total"] / max(m["decode_time_total"], 1e-9)
+    m["avg_prompt_tps"] = avg_prompt
+    m["avg_decode_tps"] = avg_decode
+    return web.json_response(m)
+
+
+async def list_models_endpoint(request: web.Request) -> web.Response:
+    cards = [rec.to_card().model_dump() for rec in state.model_registry.values()]
+    return web.json_response(ModelList(data=cards).model_dump())
+
+
+async def compute_perplexity(request: web.Request) -> web.Response:
+    try:
+        body = PerplexityRequest(**(await request.json()))
+    except Exception as e:
+        return _json_error(400, f"Invalid request: {e}")
+    rec = state.model_registry.get(body.model)
+    if rec is None or rec.status != ModelStatus.LOADED:
+        return _json_error(404, f"Model {body.model} not found")
+    tok = rec.tokenizer_instance
+    ids = G.encode_cached(tok, body.text)
+    if len(ids) < 2:
+        return _json_error(400, "Text too short to compute perplexity")
+    engine: DecodeEngine = rec.engine_instance
+    loop = asyncio.get_running_loop()
+    lp, mask = await loop.run_in_executor(None, engine.score_tokens, [ids])
+    vals = lp[0][mask[0]]
+    avg_nll = float(-vals.mean())
+    return web.json_response(
+        PerplexityResponse(
+            model=body.model,
+            perplexity=float(np.exp(avg_nll)),
+            avg_nll=avg_nll,
+            num_tokens=int(mask[0].sum()),
+        ).model_dump()
+    )
+
+
+# ------------------------------------------------------------- completions
+
+
+async def create_completion(request: web.Request) -> web.Response:
+    METRICS["requests_total"] += 1
+    try:
+        body = CompletionRequest(**(await request.json()))
+    except Exception as e:
+        return _json_error(400, f"Invalid request: {e}")
+    rec = state.model_registry.get(body.model)
+    if rec is None or rec.status != ModelStatus.LOADED:
+        return _json_error(404, f"Model {body.model} not found")
+    args: ServerArgs = request.app["args"]
+
+    prompts = body.prompt if isinstance(body.prompt, list) else [body.prompt]
+    if len(prompts) != 1:
+        return _json_error(400, "Only a single prompt is supported per request")
+    prompt = prompts[0]
+    max_tokens = body.max_tokens if body.max_tokens is not None else 16
+
+    err = _validate_prompt_len(rec, prompt, max_tokens, args)
+    if err:
+        return _json_error(400, err)
+
+    # Logprobs / echo bypass the batch queue (parity: reference :414-421).
+    if (body.logprobs is not None and body.logprobs > 0) or body.echo:
+        return await _completion_with_logprobs(request.app, rec, body, prompt)
+
+    if body.stream:
+        return await _stream_completion(request, rec, body, prompt)
+
+    fut: asyncio.Future = asyncio.get_running_loop().create_future()
+    qr = QueuedRequest(
+        request=body,
+        prompt=prompt,
+        future=fut,
+        n=body.n or 1,
+        max_tokens=max_tokens,
+        is_chat=False,
+    )
+    await request.app["request_queue"].put(qr)
+    try:
+        result = await asyncio.wait_for(fut, timeout=args.request_timeout_seconds)
+    except asyncio.TimeoutError:
+        return _json_error(504, "Request timed out waiting for batch worker")
+    if isinstance(result, Exception):
+        return _json_error(500, str(result))
+    return web.json_response(result.model_dump())
+
+
+async def _stream_completion(
+    request: web.Request, rec, body: CompletionRequest, prompt: str
+) -> web.StreamResponse:
+    """SSE streaming for /v1/completions."""
+    app = request.app
+    tok = rec.tokenizer_instance
+    model = rec.model_instance
+    prompt_tokens = G.encode_cached(tok, prompt)
+    sp = _sp_from_request(body, body.max_tokens or 16)
+    loop = asyncio.get_running_loop()
+
+    resp = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await resp.prepare(request)
+    sem: asyncio.Semaphore = app["streaming_semaphore"]
+    async with sem:
+        q: asyncio.Queue = asyncio.Queue()
+
+        def producer():
+            try:
+                stream = G.batch_stream_generate_text(
+                    model,
+                    tok,
+                    [prompt_tokens],
+                    sp.max_tokens,
+                    temps=[sp.temperature],
+                    top_ps=[sp.top_p],
+                    logit_biases=[sp.logit_bias],
+                )
+                for step in stream:
+                    loop.call_soon_threadsafe(q.put_nowait, step[0])
+                loop.call_soon_threadsafe(q.put_nowait, None)
+            except Exception as e:
+                logger.exception("completion stream producer error")
+                loop.call_soon_threadsafe(q.put_nowait, ("", "error"))
+                loop.call_soon_threadsafe(q.put_nowait, None)
+
+        loop.run_in_executor(None, producer)
+        while True:
+            item = await q.get()
+            if item is None:
+                break
+            delta, fin = item
+            if delta or fin in ("stop", "length", "error"):
+                chunk = CompletionChunk(
+                    model=body.model,
+                    choices=[
+                        CompletionStreamChoice(
+                            index=0,
+                            text=delta,
+                            finish_reason=fin
+                            if fin in ("stop", "length", "error")
+                            else None,
+                        )
+                    ],
+                )
+                await resp.write(f"data: {chunk.model_dump_json()}\n\n".encode())
+    await resp.write(b"data: [DONE]\n\n")
+    await resp.write_eof()
+    return resp
+
+
+async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: str):
+    """Synchronous logprobs/echo path (parity: reference
+    server/main.py:458-625). Teacher-forced prompt logprobs for echo, then
+    sampled decode capturing per-token logprob + top-k."""
+    tok = rec.tokenizer_instance
+    engine: DecodeEngine = rec.engine_instance
+    model = rec.model_instance
+    loop = asyncio.get_running_loop()
+    top_k = int(body.logprobs or 0)
+    max_tokens = body.max_tokens if body.max_tokens is not None else 16
+
+    prompt_ids = G.encode_cached(tok, prompt)
+
+    def run() -> CompletionResponse:
+        lp_tokens: List[str] = []
+        lp_vals: List[Optional[float]] = []
+        lp_top: List[Optional[Dict[str, float]]] = []
+        offsets: List[int] = []
+        text_parts: List[str] = []
+        pos = 0
+
+        if body.echo and len(prompt_ids) > 0:
+            # Teacher-forced prompt logprobs. First token has no logprob.
+            if len(prompt_ids) > 1:
+                lp, _ = engine.score_tokens([prompt_ids])
+                prompt_lps = [None] + [float(v) for v in lp[0][: len(prompt_ids) - 1]]
+            else:
+                prompt_lps = [None]
+            for i, tid in enumerate(prompt_ids):
+                piece = tok.decode([tid])
+                lp_tokens.append(piece)
+                lp_vals.append(prompt_lps[i])
+                lp_top.append(None)
+                offsets.append(pos)
+                pos += len(piece)
+                text_parts.append(piece)
+
+        completion_ids: List[int] = []
+        finish_reason = None
+        if max_tokens > 0:
+            sp = _sp_from_request(body, max_tokens)
+            for step in engine.decode_batch([prompt_ids], [sp]):
+                tid = step.tokens[0]
+                if tid is None:
+                    continue
+                if step.finished[0] == "stop":
+                    finish_reason = "stop"
+                    break
+                completion_ids.append(tid)
+                piece = tok.decode([tid])
+                lp_tokens.append(piece)
+                lp_vals.append(step.logprobs[0])
+                lp_top.append({piece: step.logprobs[0]} if top_k else None)
+                offsets.append(pos)
+                pos += len(piece)
+                text_parts.append(piece)
+                if step.finished[0] == "length":
+                    finish_reason = "length"
+            if finish_reason is None:
+                finish_reason = "stop"
+        else:
+            finish_reason = "stop" if body.echo else None
+
+        logprobs_obj = (
+            LogProbs(
+                tokens=lp_tokens,
+                token_logprobs=lp_vals,
+                top_logprobs=lp_top,
+                text_offset=offsets,
+            )
+            if (top_k or body.echo)
+            else None
+        )
+        text = "".join(text_parts) if body.echo else tok.decode(
+            completion_ids, skip_special_tokens=True
+        )
+        return CompletionResponse(
+            model=body.model,
+            choices=[
+                CompletionChoice(
+                    index=0,
+                    text=text,
+                    logprobs=logprobs_obj,
+                    finish_reason=finish_reason,
+                )
+            ],
+            usage=UsageInfo(
+                prompt_tokens=len(prompt_ids),
+                completion_tokens=len(completion_ids),
+                total_tokens=len(prompt_ids) + len(completion_ids),
+            ),
+        )
+
+    result = await loop.run_in_executor(None, run)
+    return web.json_response(result.model_dump())
+
+
+# ------------------------------------------------------------------- chat
+
+
+async def create_chat_completion(request: web.Request) -> web.Response:
+    METRICS["requests_total"] += 1
+    try:
+        body = ChatCompletionRequest(**(await request.json()))
+    except Exception as e:
+        return _json_error(400, f"Invalid request: {e}")
+    rec = state.model_registry.get(body.model)
+    if rec is None or rec.status != ModelStatus.LOADED:
+        return _json_error(404, f"Model {body.model} not found")
+    args: ServerArgs = request.app["args"]
+
+    tok = rec.tokenizer_instance
+    messages = [m.model_dump() for m in body.messages]
+    try:
+        prompt = G.apply_chat_template_cached(tok, messages)
+    except Exception as e:
+        return _json_error(400, f"Chat template error: {e}")
+
+    max_tokens = body.max_tokens if body.max_tokens is not None else 128
+    err = _validate_prompt_len(rec, prompt, max_tokens, args)
+    if err:
+        return _json_error(400, err)
+
+    if body.stream:
+        if (body.n or 1) > 1:
+            return _json_error(400, "Streaming with n>1 is not supported")
+        item = StreamQueuedChat(request=body, prompt=prompt, queue=asyncio.Queue())
+        await request.app["stream_chat_queue"].put(item)
+        return await _relay_chat_stream(request, item)
+
+    fut: asyncio.Future = asyncio.get_running_loop().create_future()
+    qr = QueuedRequest(
+        request=body,
+        prompt=prompt,
+        future=fut,
+        n=body.n or 1,
+        max_tokens=max_tokens,
+        is_chat=True,
+    )
+    await request.app["request_queue"].put(qr)
+    try:
+        result = await asyncio.wait_for(fut, timeout=args.request_timeout_seconds)
+    except asyncio.TimeoutError:
+        return _json_error(504, "Request timed out waiting for batch worker")
+    if isinstance(result, Exception):
+        return _json_error(500, str(result))
+    return web.json_response(result.model_dump())
+
+
+async def _relay_chat_stream(
+    request: web.Request, item: StreamQueuedChat
+) -> web.StreamResponse:
+    """Relay SSE lines from the worker's per-request queue to the client
+    under the streaming semaphore (parity: reference :774-786)."""
+    resp = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await resp.prepare(request)
+    sem: asyncio.Semaphore = request.app["streaming_semaphore"]
+    async with sem:
+        while True:
+            line = await item.queue.get()
+            if line == DONE_SENTINEL:
+                break
+            await resp.write(line.encode())
+    await resp.write(b"data: [DONE]\n\n")
+    await resp.write_eof()
+    return resp
+
+
+# ----------------------------------------------------------------- workers
+
+
+async def batch_processing_worker(app: web.Application) -> None:
+    """Dynamic batching worker (parity: reference server/main.py:808-1276).
+
+    Differences: per-request sampling params are passed through per row
+    (no first-request consolidation); ``n`` expansion uses independent RNG
+    seeds per choice row instead of zero-width-space prompt mutation."""
+    args: ServerArgs = app["args"]
+    queue: asyncio.Queue = app["request_queue"]
+    logger.info("batch_processing_worker started")
+    while True:
+        batch: List[QueuedRequest] = [await queue.get()]
+        # Fast drain, then timed window fill.
+        deadline = time.monotonic() + args.batch_timeout
+        while len(batch) < args.max_batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                batch.append(await asyncio.wait_for(queue.get(), timeout))
+            except asyncio.TimeoutError:
+                break
+        METRICS["queue_depth"] = queue.qsize()
+
+        try:
+            await _process_batch(app, batch)
+        except Exception as e:  # pragma: no cover
+            logger.exception("batch worker error")
+            for qr in batch:
+                if not qr.future.done():
+                    qr.future.set_result(e)
+
+
+async def _process_batch(app: web.Application, batch: List[QueuedRequest]) -> None:
+    args: ServerArgs = app["args"]
+    rec = state.get_active_record()
+    if rec is None:
+        for qr in batch:
+            qr.future.set_result(RuntimeError("No model loaded"))
+        return
+    tok = rec.tokenizer_instance
+    model = rec.model_instance
+
+    # Expand each request by its n; dedup identical greedy prompts unless
+    # diverse mode (reference :1001-1113 semantics, minus the zero-width
+    # space hack — sampled rows get independent RNG streams).
+    rows: List[Tuple[str, SamplingParams]] = []
+    row_map: List[List[int]] = []  # per request, row indices
+    dedup: Dict[str, int] = {}
+    for qr in batch:
+        idxs = []
+        greedy = (qr.request.temperature or 0.0) == 0.0
+        for choice in range(qr.n):
+            if (
+                greedy
+                and qr.n == 1
+                and not args.diverse_mode
+                and qr.prompt in dedup
+            ):
+                idxs.append(dedup[qr.prompt])
+                continue
+            sp = _sp_from_request(qr.request, qr.max_tokens, seed_offset=choice)
+            if sp.seed is None and not greedy:
+                sp.seed = int.from_bytes(os.urandom(4), "little") + choice
+            rows.append((qr.prompt, sp))
+            idx = len(rows) - 1
+            if greedy and qr.n == 1 and not args.diverse_mode:
+                dedup[qr.prompt] = idx
+            idxs.append(idx)
+        row_map.append(idxs)
+
+    _record_batch_fill(len(batch), args.max_batch_size)
+
+    prompts = [r[0] for r in rows]
+    sps = [r[1] for r in rows]
+    results = await G.batch_generate_text(
+        model,
+        tok,
+        prompts,
+        [sp.max_tokens for sp in sps],
+        temps=[sp.temperature for sp in sps],
+        top_ps=[sp.top_p for sp in sps],
+        logit_biases=[sp.logit_bias for sp in sps],
+        max_context_length=args.max_context_length,
+    )
+    if rec.engine_instance:
+        _sync_engine_metrics(rec.engine_instance)
+
+    for qr, idxs in zip(batch, row_map):
+        if qr.future.done():
+            continue
+        choices = []
+        usage = UsageInfo()
+        for ci, ridx in enumerate(idxs[: qr.n]):
+            text, n_prompt, n_completion = results[ridx]
+            usage.prompt_tokens += n_prompt
+            usage.completion_tokens += n_completion
+            finish = "length" if n_completion >= qr.max_tokens else "stop"
+            if qr.is_chat:
+                choices.append(
+                    ChatCompletionChoice(
+                        index=ci,
+                        message=ChatMessage(role="assistant", content=text),
+                        finish_reason=finish,
+                    )
+                )
+            else:
+                choices.append(
+                    CompletionChoice(index=ci, text=text, finish_reason=finish)
+                )
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        if qr.is_chat:
+            resp = ChatCompletionResponse(
+                model=qr.request.model, choices=choices, usage=usage
+            )
+        else:
+            resp = CompletionResponse(
+                model=qr.request.model, choices=choices, usage=usage
+            )
+        qr.future.set_result(resp)
+
+
+async def streaming_batch_worker(app: web.Application) -> None:
+    """Co-batched streaming chat worker (parity: reference
+    server/main.py:1286-1401)."""
+    args: ServerArgs = app["args"]
+    queue: asyncio.Queue = app["stream_chat_queue"]
+    stream_batch_timeout = 0.02
+    loop = asyncio.get_running_loop()
+    logger.info("streaming_batch_worker started")
+    while True:
+        items: List[StreamQueuedChat] = [await queue.get()]
+        deadline = time.monotonic() + stream_batch_timeout
+        while len(items) < args.max_batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                items.append(await asyncio.wait_for(queue.get(), timeout))
+            except asyncio.TimeoutError:
+                break
+
+        rec = state.get_active_record()
+        if rec is None:
+            for it in items:
+                await it.queue.put(DONE_SENTINEL)
+            continue
+        METRICS["stream_batches"] += 1
+        tok = rec.tokenizer_instance
+        model = rec.model_instance
+
+        prompt_rows = [G.encode_cached(tok, it.prompt) for it in items]
+        sps = [
+            _sp_from_request(it.request, it.request.max_tokens or 128)
+            for it in items
+        ]
+        chunk_ids = [None] * len(items)
+
+        def producer(outq: asyncio.Queue):
+            try:
+                stream = G.batch_stream_generate_text(
+                    model,
+                    tok,
+                    prompt_rows,
+                    [sp.max_tokens for sp in sps],
+                    temps=[sp.temperature for sp in sps],
+                    top_ps=[sp.top_p for sp in sps],
+                    logit_biases=[sp.logit_bias for sp in sps],
+                )
+                for step in stream:
+                    loop.call_soon_threadsafe(outq.put_nowait, step)
+                loop.call_soon_threadsafe(outq.put_nowait, None)
+            except Exception as e:
+                logger.exception("streaming producer error")
+                loop.call_soon_threadsafe(outq.put_nowait, e)
+                loop.call_soon_threadsafe(outq.put_nowait, None)
+
+        outq: asyncio.Queue = asyncio.Queue()
+        loop.run_in_executor(None, producer, outq)
+
+        first = [True] * len(items)
+        while True:
+            step = await outq.get()
+            if step is None:
+                break
+            if isinstance(step, Exception):
+                for it in items:
+                    err_chunk = ChatCompletionChunk(
+                        model=it.request.model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=0,
+                                delta=DeltaMessage(),
+                                finish_reason="error",
+                            )
+                        ],
+                    )
+                    await it.queue.put(f"data: {err_chunk.model_dump_json()}\n\n")
+                break
+            for i, (delta, fin) in enumerate(step):
+                it = items[i]
+                if fin == "done":
+                    continue
+                if first[i]:
+                    role_chunk = ChatCompletionChunk(
+                        model=it.request.model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=0,
+                                delta=DeltaMessage(role="assistant"),
+                                finish_reason=None,
+                            )
+                        ],
+                    )
+                    chunk_ids[i] = role_chunk.id
+                    await it.queue.put(f"data: {role_chunk.model_dump_json()}\n\n")
+                    first[i] = False
+                if delta or fin:
+                    chunk = ChatCompletionChunk(
+                        model=it.request.model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=0,
+                                delta=DeltaMessage(content=delta or None),
+                                finish_reason=fin
+                                if fin in ("stop", "length")
+                                else None,
+                            )
+                        ],
+                    )
+                    if chunk_ids[i]:
+                        chunk.id = chunk_ids[i]
+                    await it.queue.put(f"data: {chunk.model_dump_json()}\n\n")
+        for it in items:
+            await it.queue.put(DONE_SENTINEL)
+
+
+async def continuous_scheduler_worker(app: web.Application) -> None:
+    """Unified admit-on-step scheduler mixing streaming + non-streaming
+    (parity: reference server/main.py:1404-1726). This first version follows
+    the reference's restart-on-admit contract; the slot-based engine that
+    admits without recomputing running sequences is the planned upgrade
+    (SURVEY §7.5)."""
+    args: ServerArgs = app["args"]
+    req_q: asyncio.Queue = app["request_queue"]
+    stream_q: asyncio.Queue = app["stream_chat_queue"]
+    loop = asyncio.get_running_loop()
+    logger.info("continuous_scheduler_worker started")
+
+    # Carried-over state for requests interrupted by an admission break.
+    pending: List[dict] = []
+
+    while True:
+        # Prime: wait for any work.
+        if not pending and req_q.empty() and stream_q.empty():
+            get_req = asyncio.ensure_future(req_q.get())
+            get_stream = asyncio.ensure_future(stream_q.get())
+            done, pend = await asyncio.wait(
+                [get_req, get_stream], return_when=asyncio.FIRST_COMPLETED
+            )
+            for p in pend:
+                p.cancel()
+            for d in done:
+                item = d.result()
+                if isinstance(item, QueuedRequest):
+                    pending.append(_cont_entry_from_queued(item))
+                else:
+                    pending.append(_cont_entry_from_stream(item))
+
+        # Fill window.
+        deadline = time.monotonic() + args.batch_timeout
+        while len(pending) < args.max_batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            gets = []
+            if True:
+                gets.append(asyncio.ensure_future(req_q.get()))
+                gets.append(asyncio.ensure_future(stream_q.get()))
+            done, pend = await asyncio.wait(
+                gets, timeout=timeout, return_when=asyncio.FIRST_COMPLETED
+            )
+            for p in pend:
+                p.cancel()
+            if not done:
+                break
+            for d in done:
+                item = d.result()
+                if isinstance(item, QueuedRequest):
+                    pending.append(_cont_entry_from_queued(item))
+                else:
+                    pending.append(_cont_entry_from_stream(item))
+
+        rec = state.get_active_record()
+        if rec is None:
+            for e in pending:
+                _cont_fail(e, RuntimeError("No model loaded"))
+            pending = []
+            continue
+
+        active = pending[: args.max_batch_size]
+        pending = pending[args.max_batch_size :]
+        _record_batch_fill(len(active), args.max_batch_size)
+
+        tok = rec.tokenizer_instance
+        model = rec.model_instance
+        prompt_rows = []
+        for e in active:
+            ids = G.encode_cached(tok, e["prompt"])
+            # Re-admitted entries continue from prompt + generated so far.
+            prompt_rows.append(ids + e["generated_ids"])
+
+        sps = [e["sp"] for e in active]
+        remaining = [
+            max(1, e["sp"].max_tokens - len(e["generated_ids"])) for e in active
+        ]
+
+        outq: asyncio.Queue = asyncio.Queue()
+
+        def producer():
+            try:
+                stream = G.batch_stream_generate_text(
+                    model,
+                    tok,
+                    prompt_rows,
+                    remaining,
+                    temps=[sp.temperature for sp in sps],
+                    top_ps=[sp.top_p for sp in sps],
+                    logit_biases=[sp.logit_bias for sp in sps],
+                )
+                for step in stream:
+                    loop.call_soon_threadsafe(outq.put_nowait, step)
+                loop.call_soon_threadsafe(outq.put_nowait, None)
+            except Exception as exc:
+                logger.exception("continuous producer error")
+                loop.call_soon_threadsafe(outq.put_nowait, exc)
+                loop.call_soon_threadsafe(outq.put_nowait, None)
+
+        loop.run_in_executor(None, producer)
+
+        interrupted = False
+        while True:
+            step = await outq.get()
+            if step is None:
+                break
+            if isinstance(step, Exception):
+                for e in active:
+                    _cont_fail(e, step)
+                active = []
+                break
+            for i, (delta, fin) in enumerate(step):
+                e = active[i]
+                if e.get("done"):
+                    continue
+                if delta:
+                    e["text"] += delta
+                    if e["kind"] == "stream":
+                        await _cont_emit_stream_delta(e, delta)
+                if fin in ("stop", "length"):
+                    e["done"] = True
+                    e["finish"] = fin
+            # Admission check at step boundary (reference :1657-1671).
+            if not interrupted and (not req_q.empty() or not stream_q.empty()):
+                interrupted = True
+                # Let the current producer finish its generator loop — we
+                # simply stop consuming further; mark remaining rows for
+                # re-admission with their accumulated text.
+                break
+
+        if interrupted:
+            # Drain the producer queue without blocking the event loop.
+            while True:
+                try:
+                    leftover = outq.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                if leftover is None:
+                    break
+
+        for e in active:
+            if e.get("done"):
+                await _cont_finish(e, tok)
+            else:
+                # Not finished: re-admit, carrying generated text as context.
+                e["generated_ids"] = G.encode_cached(tok, e["text"]) if e["text"] else []
+                pending.append(e)
+
+        if rec.engine_instance:
+            _sync_engine_metrics(rec.engine_instance)
+
+
+def _cont_entry_from_queued(qr: QueuedRequest) -> dict:
+    return {
+        "kind": "completion",
+        "qr": qr,
+        "prompt": qr.prompt,
+        "sp": _sp_from_request(qr.request, qr.max_tokens),
+        "text": "",
+        "generated_ids": [],
+        "done": False,
+        "finish": None,
+        "first": True,
+    }
+
+
+def _cont_entry_from_stream(it: StreamQueuedChat) -> dict:
+    return {
+        "kind": "stream",
+        "item": it,
+        "prompt": it.prompt,
+        "sp": _sp_from_request(it.request, it.request.max_tokens or 128),
+        "text": "",
+        "generated_ids": [],
+        "done": False,
+        "finish": None,
+        "first": True,
+    }
+
+
+def _cont_fail(e: dict, exc: Exception) -> None:
+    if e["kind"] == "completion":
+        if not e["qr"].future.done():
+            e["qr"].future.set_result(exc)
+    else:
+        e["item"].queue.put_nowait(DONE_SENTINEL)
+
+
+async def _cont_emit_stream_delta(e: dict, delta: str) -> None:
+    it: StreamQueuedChat = e["item"]
+    if e["first"]:
+        role_chunk = ChatCompletionChunk(
+            model=it.request.model,
+            choices=[
+                ChatCompletionStreamChoice(
+                    index=0, delta=DeltaMessage(role="assistant")
+                )
+            ],
+        )
+        await it.queue.put(f"data: {role_chunk.model_dump_json()}\n\n")
+        e["first"] = False
+    chunk = ChatCompletionChunk(
+        model=it.request.model,
+        choices=[
+            ChatCompletionStreamChoice(
+                index=0, delta=DeltaMessage(content=delta)
+            )
+        ],
+    )
+    await it.queue.put(f"data: {chunk.model_dump_json()}\n\n")
+
+
+async def _cont_finish(e: dict, tok) -> None:
+    n_prompt = len(G.encode_cached(tok, e["prompt"]))
+    n_completion = len(tok.encode(e["text"])) if e["text"] else 0
+    if e["kind"] == "completion":
+        qr: QueuedRequest = e["qr"]
+        usage = UsageInfo(
+            prompt_tokens=n_prompt,
+            completion_tokens=n_completion,
+            total_tokens=n_prompt + n_completion,
+        )
+        if qr.is_chat:
+            resp = ChatCompletionResponse(
+                model=qr.request.model,
+                choices=[
+                    ChatCompletionChoice(
+                        index=0,
+                        message=ChatMessage(role="assistant", content=e["text"]),
+                        finish_reason=e["finish"],
+                    )
+                ],
+                usage=usage,
+            )
+        else:
+            resp = CompletionResponse(
+                model=qr.request.model,
+                choices=[
+                    CompletionChoice(
+                        index=0, text=e["text"], finish_reason=e["finish"]
+                    )
+                ],
+                usage=usage,
+            )
+        if not qr.future.done():
+            qr.future.set_result(resp)
+    else:
+        it: StreamQueuedChat = e["item"]
+        fin_chunk = ChatCompletionChunk(
+            model=it.request.model,
+            choices=[
+                ChatCompletionStreamChoice(
+                    index=0, delta=DeltaMessage(), finish_reason=e["finish"]
+                )
+            ],
+        )
+        await it.queue.put(f"data: {fin_chunk.model_dump_json()}\n\n")
+        await it.queue.put(DONE_SENTINEL)
+
+
+# -------------------------------------------------------------------- main
+
+
+def run_server(args: ServerArgs) -> None:
+    global current_server_args
+    current_server_args = args
+    app = create_app(args)
+    web.run_app(app, host=args.host, port=args.port, print=None)
