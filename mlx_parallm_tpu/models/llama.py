@@ -63,7 +63,7 @@ class ModelArgs(BaseModelArgs):
         return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache: KVCache, layer: int, positions):
+def _attention_block(args: ModelArgs, p, x, cache: Optional[KVCache], layer: int, positions):
     b, t, _ = x.shape
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.resolved_head_dim
     qcfg = args.qcfg
@@ -75,14 +75,19 @@ def _attention_block(args: ModelArgs, p, x, cache: KVCache, layer: int, position
     q = rope.apply_rope(q, positions, base=args.rope_theta, rope_scaling=args.rope_scaling)
     k = rope.apply_rope(k, positions, base=args.rope_theta, rope_scaling=args.rope_scaling)
 
-    cache = cache.update_layer(layer, k, v)
-    out = attention.sdpa(
-        q,
-        cache.k[layer],
-        cache.v[layer],
-        q_offsets=cache.lengths,
-        scale=d**-0.5,
-    )
+    if cache is None:
+        # Cache-free forward (training / scoring): attend within the window.
+        offsets = jnp.zeros((b,), dtype=jnp.int32)
+        out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
+    else:
+        cache = cache.update_layer(layer, k, v)
+        out = attention.sdpa(
+            q,
+            cache.k[layer],
+            cache.v[layer],
+            q_offsets=cache.lengths,
+            scale=d**-0.5,
+        )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
 
@@ -98,14 +103,18 @@ def apply(
     args: ModelArgs,
     params: Dict[str, Any],
     tokens: jnp.ndarray,
-    cache: KVCache,
-) -> Tuple[jnp.ndarray, KVCache]:
+    cache: Optional[KVCache],
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Forward pass. tokens: (B, T) int32. Returns (logits (B, T, V), cache
-    with ``lengths`` advanced by T — callers with ragged rows re-adjust)."""
+    with ``lengths`` advanced by T — callers with ragged rows re-adjust).
+    ``cache=None`` runs a cache-free forward (training / scoring)."""
     qcfg = args.qcfg
     model_p = params["model"]
-    t = tokens.shape[1]
-    positions = make_positions(cache.lengths, t)
+    b, t = tokens.shape
+    if cache is None:
+        positions = make_positions(jnp.zeros((b,), dtype=jnp.int32), t)
+    else:
+        positions = make_positions(cache.lengths, t)
 
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
 
@@ -126,7 +135,8 @@ def apply(
     else:
         logits = P.embedding_as_linear(model_p["embed_tokens"], x, qcfg)
 
-    cache = cache.advance(jnp.full((tokens.shape[0],), t, dtype=jnp.int32))
+    if cache is not None:
+        cache = cache.advance(jnp.full((tokens.shape[0],), t, dtype=jnp.int32))
     return logits, cache
 
 
