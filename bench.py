@@ -1,0 +1,190 @@
+"""Headline benchmark: batch-8 INT4 7B-class decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference's best published batched
+decode number (59.4 tok/s aggregate, Hermes-4-Qwen3-14B int4, batch 8 on
+Apple Silicon — BASELINE.md). The model here is a 7B-class llama config
+(hidden 4096, 32 layers, GQA 32/8, ffn 14336, vocab 32k) with random
+group-quantized weights — throughput is weight-bandwidth-bound, so random
+weights measure the same thing real ones do.
+
+Run: python bench.py [--layers N] [--steps N] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+REFERENCE_BASELINE_TOK_S = 59.4
+
+
+class _BenchTokenizer:
+    """Minimal tokenizer stand-in: no EOS (decode runs to max_tokens)."""
+
+    eos_token_ids: set = set()
+    pad_token_id = 0
+    model_max_length = 32768
+
+    def decode(self, ids, **kw):
+        return " ".join(str(i) for i in ids)
+
+
+def build_random_quantized_llama(
+    *,
+    hidden: int = 4096,
+    layers: int = 32,
+    heads: int = 32,
+    kv_heads: int = 8,
+    ffn: int = 14336,
+    vocab: int = 32000,
+    group_size: int = 64,
+    bits: int = 4,
+    seed: int = 0,
+):
+    """Random 7B-class quantized param tree, built on-device.
+
+    Quantized linears carry the unpacked int8 mirror (``q8``) + scales/biases
+    for the XLA grouped matmul path; embeddings stay bf16.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_parallm_tpu.core.loader import Model
+    from mlx_parallm_tpu.models import llama
+
+    key = jax.random.PRNGKey(seed)
+
+    def ql(key, out_f, in_f):
+        k1, k2, k3 = jax.random.split(key, 3)
+        g = in_f // group_size
+        q8 = jax.random.randint(k1, (out_f, in_f), 0, 2**bits, dtype=jnp.uint8)
+        scales = (jax.random.uniform(k2, (out_f, g), jnp.float32) * 0.02 + 0.001).astype(jnp.bfloat16)
+        biases = (jax.random.uniform(k3, (out_f, g), jnp.float32) * 0.02 - 0.16).astype(jnp.bfloat16)
+        return {"q8": q8, "scales": scales, "biases": biases}
+
+    head_dim = hidden // heads
+    keys = jax.random.split(key, layers + 2)
+    layer_list = []
+    for li in range(layers):
+        lk = jax.random.split(keys[li], 8)
+        layer_list.append(
+            {
+                "self_attn": {
+                    "q_proj": ql(lk[0], heads * head_dim, hidden),
+                    "k_proj": ql(lk[1], kv_heads * head_dim, hidden),
+                    "v_proj": ql(lk[2], kv_heads * head_dim, hidden),
+                    "o_proj": ql(lk[3], hidden, heads * head_dim),
+                },
+                "mlp": {
+                    "gate_proj": ql(lk[4], ffn, hidden),
+                    "up_proj": ql(lk[5], ffn, hidden),
+                    "down_proj": ql(lk[6], hidden, ffn),
+                },
+                "input_layernorm": {"weight": jnp.ones(hidden, jnp.bfloat16)},
+                "post_attention_layernorm": {
+                    "weight": jnp.ones(hidden, jnp.bfloat16)
+                },
+            }
+        )
+    params = {
+        "model": {
+            "embed_tokens": {
+                "weight": (
+                    jax.random.normal(keys[-2], (vocab, hidden), jnp.bfloat16)
+                    * 0.02
+                )
+            },
+            "layers": layer_list,
+            "norm": {"weight": jnp.ones(hidden, jnp.bfloat16)},
+        }
+    }
+    config = {
+        "model_type": "llama",
+        "hidden_size": hidden,
+        "num_hidden_layers": layers,
+        "num_attention_heads": heads,
+        "num_key_value_heads": kv_heads,
+        "intermediate_size": ffn,
+        "vocab_size": vocab,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": True,
+        "quantization": {"group_size": group_size, "bits": bits},
+    }
+    args = llama.ModelArgs.from_dict(config)
+    return Model(args=args, params=params, module=llama, config=config)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--warmup-steps", type=int, default=16)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from mlx_parallm_tpu.core.engine import DecodeEngine, SamplingParams
+
+    model = build_random_quantized_llama(layers=args.layers)
+    tok = _BenchTokenizer()
+    engine = DecodeEngine(
+        model, tok, max_batch_size=args.batch, max_context_length=8192
+    )
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        [int(x) for x in rng.integers(1, 30000, size=args.prompt_len)]
+        for _ in range(args.batch)
+    ]
+
+    def run(n_steps: int) -> float:
+        sp = [
+            SamplingParams(temperature=0.0, max_tokens=n_steps)
+            for _ in range(args.batch)
+        ]
+        n_tok = 0
+        t_first = None
+        t0 = time.perf_counter()
+        for step in engine.decode_batch(prompts, sp):
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+            n_tok += sum(1 for t in step.tokens if t is not None)
+        dt = time.perf_counter() - t0
+        # Decode-only throughput: exclude prefill via engine metrics.
+        decode_t = engine.metrics["last_decode_tps"]
+        return decode_t, t_first, n_tok / dt
+
+    # Warmup (compile).
+    run(args.warmup_steps)
+    decode_tps, ttft, total_tps = run(args.steps)
+
+    value = round(decode_tps, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tok_s_7b_int4_batch8_1chip",
+                "value": value,
+                "unit": "tok/s",
+                "vs_baseline": round(value / REFERENCE_BASELINE_TOK_S, 3),
+                "extra": {
+                    "ttft_s_b8_p128": round(ttft, 4),
+                    "e2e_tok_s": round(total_tps, 2),
+                    "layers": args.layers,
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,13 +153,19 @@ class DecodeEngine:
         return max(self.kv_step, min(_round_up(need, self.kv_step), 65536))
 
     def _make_cache(self, batch: int, capacity: int) -> KVCache:
-        return KVCache.init(
+        cache = KVCache.init(
             self.model.num_layers,
             batch,
             capacity,
             self.model.n_kv_heads(),
             self.model.head_dim(),
         )
+        mesh = getattr(self.model, "mesh", None)
+        if mesh is not None:
+            from ..parallel.mesh import shard_cache
+
+            cache = shard_cache(cache, mesh)
+        return cache
 
     def _logit_bias_array(
         self, seq_params: Sequence[SamplingParams], b_padded: int

@@ -256,6 +256,16 @@ class GRPOTrainer:
         t0 = time.perf_counter()
         pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
         data = _collate(scored_batch, pad_id=pad_id)
+
+        # Data-parallel sharding of the batch when the model lives on a mesh.
+        mesh = getattr(self.model, "mesh", None)
+        if mesh is not None and data["tokens"].shape[0] % mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp_sh = NamedSharding(mesh, P("dp"))
+            data = {
+                k: jax.device_put(v, dp_sh) for k, v in data.items()
+            }
         _, frozen = split_adapter_params(self.model.params)
 
         cfg = self.config
