@@ -112,3 +112,36 @@ def dequantize(
 @functools.partial(jax.jit, static_argnames=("group_size", "bits"))
 def quantize_jit(w, group_size=DEFAULT_GROUP_SIZE, bits=DEFAULT_BITS):
     return quantize(w, group_size, bits)
+
+
+def kernel_pack(
+    packed_mlx: jax.Array, group_size: int, bits: int
+) -> jax.Array:
+    """Re-pack MLX-layout packed weights into the fused-kernel layout:
+    a TRANSPOSED (Kw, N) uint32 tensor whose bit-planes are MXU-ready.
+
+    The Pallas dequant-matmul kernel processes packed words one bit-plane at a
+    time; with this layout ``plane_j`` comes out (Kw, N) — the natural matmul
+    operand orientation (contraction along sublanes, no in-kernel transpose)
+    — and the group of the element at word-row ``i`` is ``i mod G`` for every
+    plane, so the per-row scale map is a tile-style sublane repeat
+    (``s_map = pltpu.repeat(scales_t, Q, axis=0)``, Mosaic-native).
+
+    Word ``i = q*G + r``, plane ``j`` holds element ``(group r, intra-group
+    index q*P + j)`` of the original input dimension (P = 32/bits). The
+    matching activation permutation is a cheap reshape/transpose of the small
+    ``x`` (see qmm_pallas). One-time transform at load.
+    """
+    per_word = 32 // bits
+    q = unpack(packed_mlx, bits, dtype=jnp.uint32)  # (N, K) original order
+    n, k = q.shape
+    g = k // group_size
+    qq = group_size // per_word
+    kw = k // per_word
+    # (N, G, Q, P) -> (Q, G, N, P) = (Kw-major rows, N cols, plane) -> pack.
+    q_kernel = (
+        q.reshape(n, g, qq, per_word)
+        .transpose(2, 1, 0, 3)
+        .reshape(kw, n, per_word)
+    )
+    return pack(q_kernel, bits).reshape(kw, n)  # (Kw, N) uint32

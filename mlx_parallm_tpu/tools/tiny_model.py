@@ -107,9 +107,9 @@ def build_tiny_model(
 
     weights: dict = {}
 
-    def add_linear(name: str, out_f: int, in_f: int):
+    def add_linear(name: str, out_f: int, in_f: int, quantize: bool = True):
         w = randw(out_f, in_f)
-        if bits:
+        if bits and quantize and in_f % group_size == 0:
             packed, scales, biases = _np_quantize(w, group_size, bits)
             weights[f"{name}.weight"] = packed
             weights[f"{name}.scales"] = scales.astype(np.float32)
@@ -117,20 +117,87 @@ def build_tiny_model(
         else:
             weights[f"{name}.weight"] = w
 
-    add_linear("model.embed_tokens", vocab_size, hidden_size)
     head_dim = hidden_size // num_heads
-    for i in range(num_layers):
-        p = f"model.layers.{i}"
-        add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
-        add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
-        add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
-        add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
-        add_linear(f"{p}.mlp.gate_proj", intermediate_size, hidden_size)
-        add_linear(f"{p}.mlp.up_proj", intermediate_size, hidden_size)
-        add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
-        weights[f"{p}.input_layernorm.weight"] = np.ones(hidden_size, np.float32)
-        weights[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden_size, np.float32)
-    weights["model.norm.weight"] = np.ones(hidden_size, np.float32)
+    add_linear("model.embed_tokens", vocab_size, hidden_size)
+
+    if model_type in ("llama", "mistral", "qwen2"):
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            add_linear(f"{p}.mlp.gate_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.up_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
+            weights[f"{p}.input_layernorm.weight"] = np.ones(hidden_size, np.float32)
+            weights[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden_size, np.float32)
+    elif model_type == "qwen3":
+        config["head_dim"] = head_dim
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            weights[f"{p}.self_attn.q_norm.weight"] = np.ones(head_dim, np.float32)
+            weights[f"{p}.self_attn.k_norm.weight"] = np.ones(head_dim, np.float32)
+            add_linear(f"{p}.mlp.gate_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.up_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
+            weights[f"{p}.input_layernorm.weight"] = np.ones(hidden_size, np.float32)
+            weights[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden_size, np.float32)
+    elif model_type == "gemma":
+        config["head_dim"] = head_dim
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            add_linear(f"{p}.mlp.gate_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.up_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
+            weights[f"{p}.input_layernorm.weight"] = np.zeros(hidden_size, np.float32)
+            weights[f"{p}.post_attention_layernorm.weight"] = np.zeros(hidden_size, np.float32)
+    elif model_type == "phi3":
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(
+                f"{p}.self_attn.qkv_proj",
+                (num_heads + 2 * num_kv_heads) * head_dim,
+                hidden_size,
+            )
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            add_linear(f"{p}.mlp.gate_up_proj", 2 * intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
+            weights[f"{p}.input_layernorm.weight"] = np.ones(hidden_size, np.float32)
+            weights[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden_size, np.float32)
+    elif model_type == "mixtral":
+        config["num_local_experts"] = 4
+        config["num_experts_per_tok"] = 2
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            # Router stays float (reference keeps gate unquantized).
+            add_linear(f"{p}.block_sparse_moe.gate", 4, hidden_size, quantize=False)
+            for e in range(4):
+                ep = f"{p}.block_sparse_moe.experts.{e}"
+                add_linear(f"{ep}.w1", intermediate_size, hidden_size)
+                add_linear(f"{ep}.w2", hidden_size, intermediate_size)
+                add_linear(f"{ep}.w3", intermediate_size, hidden_size)
+            weights[f"{p}.input_layernorm.weight"] = np.ones(hidden_size, np.float32)
+            weights[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden_size, np.float32)
+    else:
+        raise ValueError(f"tiny model factory: unknown model_type {model_type}")
+    weights["model.norm.weight"] = (
+        np.zeros(hidden_size, np.float32)
+        if model_type == "gemma"
+        else np.ones(hidden_size, np.float32)
+    )
 
     from safetensors.numpy import save_file
 
