@@ -114,34 +114,60 @@ def quantize_jit(w, group_size=DEFAULT_GROUP_SIZE, bits=DEFAULT_BITS):
     return quantize(w, group_size, bits)
 
 
+def kernel_layout_indices(k: int, group_size: int, bits: int):
+    """Element-index map for the fused-kernel byte-plane layout.
+
+    The Pallas kernel unpacks a ``(Kw, N)`` uint32 tile with lane-wise mask +
+    ``pltpu.bitcast(..., int8)``, which yields byte-plane arrays whose row
+    ``t = 4*i + b`` holds byte ``b`` of word-row ``i``. We choose the packing
+    so that the element at plane-row ``t`` (and nibble parity ``p`` for INT4)
+    belongs to quant group ``t mod G`` — making the per-row scale map a
+    Mosaic-native tile repeat (``pltpu.repeat(scales_t, rows//G, axis=0)``).
+
+    Returns an int array ``elem[kw, 32//bits]``: original input-dim element
+    index for (word-row, intra-word slot).
+    """
+    import numpy as np
+
+    per_word = 32 // bits
+    kw = k // per_word
+    g = k // group_size
+    elem = np.empty((kw, per_word), dtype=np.int64)
+    for i in range(kw):
+        for j in range(per_word):
+            if bits == 4:
+                b, p = j // 2, j % 2  # byte, nibble parity
+                t = 4 * i + b  # row in the (K/2)-row plane array
+                q_idx, r = divmod(t, g)
+                elem[i, j] = r * group_size + 2 * q_idx + p
+            else:  # bits == 8
+                t = 4 * i + j
+                q_idx, r = divmod(t, g)
+                elem[i, j] = r * group_size + q_idx
+    return elem
+
+
 def kernel_pack(
     packed_mlx: jax.Array, group_size: int, bits: int
 ) -> jax.Array:
     """Re-pack MLX-layout packed weights into the fused-kernel layout:
-    a TRANSPOSED (Kw, N) uint32 tensor whose bit-planes are MXU-ready.
+    a TRANSPOSED ``(Kw, N)`` uint32 tensor whose byte/nibble planes come out
+    of a single lane-wise ``bitcast`` as MXU-ready ``(K-slice, N)`` int8
+    operands with tile-repeatable group scale maps (see
+    ``kernel_layout_indices``; activation permutation in qmm_pallas).
 
-    The Pallas dequant-matmul kernel processes packed words one bit-plane at a
-    time; with this layout ``plane_j`` comes out (Kw, N) — the natural matmul
-    operand orientation (contraction along sublanes, no in-kernel transpose)
-    — and the group of the element at word-row ``i`` is ``i mod G`` for every
-    plane, so the per-row scale map is a tile-style sublane repeat
-    (``s_map = pltpu.repeat(scales_t, Q, axis=0)``, Mosaic-native).
-
-    Word ``i = q*G + r``, plane ``j`` holds element ``(group r, intra-group
-    index q*P + j)`` of the original input dimension (P = 32/bits). The
-    matching activation permutation is a cheap reshape/transpose of the small
-    ``x`` (see qmm_pallas). One-time transform at load.
+    For INT8, stored bytes are biased by -128 (two's complement) so the int8
+    reinterpretation is exact; the matching ``+128*scale`` correction folds
+    into the affine bias term (applied in qmm_pallas).
     """
     per_word = 32 // bits
     q = unpack(packed_mlx, bits, dtype=jnp.uint32)  # (N, K) original order
     n, k = q.shape
-    g = k // group_size
-    qq = group_size // per_word
     kw = k // per_word
-    # (N, G, Q, P) -> (Q, G, N, P) = (Kw-major rows, N cols, plane) -> pack.
-    q_kernel = (
-        q.reshape(n, g, qq, per_word)
-        .transpose(2, 1, 0, 3)
-        .reshape(kw, n, per_word)
-    )
+    elem = jnp.asarray(kernel_layout_indices(k, group_size, bits))
+    q_kernel = q[:, elem.reshape(-1)].reshape(n, kw, per_word)
+    if bits == 8:
+        q_kernel = (q_kernel - 128) & 0xFF
+    # (N, Kw, P) -> (Kw, N, P) -> pack intra-word slots.
+    q_kernel = q_kernel.transpose(1, 0, 2)
     return pack(q_kernel, bits).reshape(kw, n)  # (Kw, N) uint32
