@@ -60,13 +60,17 @@ def build_random_quantized_llama(
 
     key = jax.random.PRNGKey(seed)
 
+    per_word = 32 // bits
+
     def ql(key, out_f, in_f):
         k1, k2, k3 = jax.random.split(key, 3)
         g = in_f // group_size
-        q8 = jax.random.randint(k1, (out_f, in_f), 0, 2**bits, dtype=jnp.uint8)
+        # Random weights directly in the fused-kernel packed layout (random
+        # values are layout-invariant); throughput is what's measured.
+        wk = jax.random.bits(k1, (in_f // per_word, out_f), jnp.uint32)
         scales = (jax.random.uniform(k2, (out_f, g), jnp.float32) * 0.02 + 0.001).astype(jnp.bfloat16)
         biases = (jax.random.uniform(k3, (out_f, g), jnp.float32) * 0.02 - 0.16).astype(jnp.bfloat16)
-        return {"q8": q8, "scales": scales, "biases": biases}
+        return {"wk": wk, "scales": scales, "biases": biases}
 
     head_dim = hidden // heads
     keys = jax.random.split(key, layers + 2)

@@ -1,0 +1,142 @@
+"""KV slab pool + global prefix-KV LRU cache.
+
+Parity: reference ``_KVPool`` (reference: /root/reference/mlx_parallm/utils.py:199-226)
+and ``_GlobalPrefixCache`` (:231-287). TPU adaptations:
+
+  * The pool keys on the full static slab shape. Decode steps donate the slab
+    to XLA (in-place update), so a slab can only be recycled after its
+    generation completes; the pool's main win is skipping the zeros init for
+    hot shapes.
+  * The prefix cache stores single-sequence device snapshots ``(k, v, length)``
+    keyed by the exact prefix token tuple. Prefix lengths are bucketed down to
+    multiples of 64 so the seeding slice shapes stay static (bounded XLA
+    recompiles).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import KVCache
+
+PREFIX_BUCKET = 64
+
+
+class KVPool:
+    """Reuse released KV slabs keyed by shape (zeroing instead of realloc)."""
+
+    def __init__(self, max_per_key: int = 2):
+        self._free: Dict[tuple, List[KVCache]] = {}
+        self._lock = threading.Lock()
+        self.max_per_key = max_per_key
+
+    def acquire(
+        self, num_layers: int, batch: int, capacity: int, heads: int, dim: int, dtype=jnp.bfloat16
+    ) -> KVCache:
+        key = (num_layers, batch, capacity, heads, dim, str(dtype))
+        with self._lock:
+            stack = self._free.get(key)
+            if stack:
+                slab = stack.pop()
+                return KVCache(
+                    k=jnp.zeros_like(slab.k),
+                    v=jnp.zeros_like(slab.v),
+                    lengths=jnp.zeros_like(slab.lengths),
+                )
+        return KVCache.init(num_layers, batch, capacity, heads, dim, dtype=dtype)
+
+    def release(self, cache: Optional[KVCache]) -> None:
+        if cache is None:
+            return
+        key = (
+            cache.k.shape[0],
+            cache.k.shape[1],
+            cache.k.shape[2],
+            cache.k.shape[3],
+            cache.k.shape[4],
+            str(cache.k.dtype),
+        )
+        with self._lock:
+            stack = self._free.setdefault(key, [])
+            if len(stack) < self.max_per_key:
+                stack.append(cache)
+
+
+class GlobalPrefixCache:
+    """LRU of per-layer single-sequence KV snapshots keyed by prefix tokens.
+
+    On a hit the snapshot is broadcast into every row of a fresh batch slab,
+    skipping prefill of the shared prefix (reference utils.py:231-287)."""
+
+    def __init__(self, capacity: int = 4, min_tokens: int = 64):
+        self.capacity = capacity
+        self.min_tokens = min_tokens
+        self._d: "OrderedDict[tuple, Tuple[jax.Array, jax.Array, int]]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def bucket_len(n: int) -> int:
+        return (n // PREFIX_BUCKET) * PREFIX_BUCKET
+
+    def lookup(self, prefix_tokens: Tuple[int, ...]):
+        """Returns (k, v, length) snapshot or None. k/v: (L, 1, P, H, D)."""
+        key = tuple(prefix_tokens)
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                self.hits += 1
+                return self._d[key]
+            self.misses += 1
+            return None
+
+    def store(self, prefix_tokens: Tuple[int, ...], k, v) -> None:
+        if len(prefix_tokens) < self.min_tokens:
+            return
+        key = tuple(prefix_tokens)
+        with self._lock:
+            self._d[key] = (k, v, len(prefix_tokens))
+            self._d.move_to_end(key)
+            while len(self._d) > self.capacity:
+                self._d.popitem(last=False)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+
+def seed_cache_with_prefix(cache: KVCache, snap_k, snap_v, length: int) -> KVCache:
+    """Broadcast a (L, 1, P, H, D) snapshot into every row of a batch slab and
+    set all row lengths to ``length``."""
+    b = cache.batch_size
+    k = cache.k.at[:, :, :length].set(
+        jnp.broadcast_to(snap_k, (snap_k.shape[0], b, length, *snap_k.shape[3:]))
+    )
+    v = cache.v.at[:, :, :length].set(
+        jnp.broadcast_to(snap_v, (snap_v.shape[0], b, length, *snap_v.shape[3:]))
+    )
+    return KVCache(
+        k=k, v=v, lengths=jnp.full_like(cache.lengths, length)
+    )
+
+
+def common_prefix_length(rows: List[List[int]]) -> int:
+    """Longest common prefix across token rows (reference utils.py:1206-1221)."""
+    if not rows:
+        return 0
+    lcp = min(len(r) for r in rows)
+    first = rows[0]
+    for r in rows[1:]:
+        i = 0
+        while i < lcp and r[i] == first[i]:
+            i += 1
+        lcp = min(lcp, i)
+        if lcp == 0:
+            return 0
+    return lcp

@@ -91,13 +91,18 @@ class DecodeEngine:
         max_batch_size: int = 8,
         max_context_length: int = 4096,
         kv_step: int = 256,
+        disable_prefix_cache: bool = False,
     ):
+        from .cache import GlobalPrefixCache, KVPool
+
         self.model = model
         self.tokenizer = tokenizer
         self.max_batch_size = max_batch_size
         self.max_context_length = max_context_length
         self.kv_step = kv_step
         self._params_version = -1
+        self.kv_pool = KVPool()
+        self.prefix_cache = None if disable_prefix_cache else GlobalPrefixCache()
         self._build_jit()
         # Engine-level metrics (consumed by /debug/metrics).
         self.metrics = {
@@ -115,13 +120,16 @@ class DecodeEngine:
         apply_fn = self.model.apply_fn()
 
         def prefill(params, tokens, lengths, cache):
-            # tokens: (B, T) right-padded; lengths: (B,) valid counts.
+            # tokens: (B, T) right-padded; lengths: (B,) FINAL absolute valid
+            # counts. The cache may already hold a shared prefix (its
+            # ``lengths`` are the per-row write offsets).
+            start = cache.lengths
             logits, cache = apply_fn(params, tokens, cache)
             # apply() advanced lengths by T uniformly; install the true ragged
             # lengths (garbage KV beyond each row's length is masked/overwritten).
             cache = KVCache(k=cache.k, v=cache.v, lengths=lengths)
             last = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1
+                logits, (lengths - start - 1)[:, None, None], axis=1
             )[:, 0]
             return last, cache
 
@@ -153,7 +161,7 @@ class DecodeEngine:
         return max(self.kv_step, min(_round_up(need, self.kv_step), 65536))
 
     def _make_cache(self, batch: int, capacity: int) -> KVCache:
-        cache = KVCache.init(
+        cache = self.kv_pool.acquire(
             self.model.num_layers,
             batch,
             capacity,
@@ -227,13 +235,57 @@ class DecodeEngine:
 
         cache = self._make_cache(b_pad, capacity)
 
+        # Shared-prefix handling (reference utils.py:1206-1279): on a prefix
+        # cache hit, seed the slab and prefill only the suffixes.
+        from .cache import (
+            GlobalPrefixCache,
+            common_prefix_length,
+            seed_cache_with_prefix,
+        )
+
+        lcp = 0
+        prefix_hit = False
+        prefix_key: Tuple[int, ...] = ()
+        if self.prefix_cache is not None:
+            raw_lcp = common_prefix_length([list(p) for p in prompts])
+            lcp = GlobalPrefixCache.bucket_len(
+                min(raw_lcp, min(lengths_list) - 1)
+            )
+            if lcp >= self.prefix_cache.min_tokens:
+                prefix_key = tuple(prompts[0][:lcp])
+                snap = self.prefix_cache.lookup(prefix_key)
+                if snap is not None:
+                    cache = seed_cache_with_prefix(cache, snap[0], snap[1], lcp)
+                    prefix_hit = True
+            else:
+                lcp = 0
+
+        if prefix_hit:
+            suffix_rows = [list(p)[lcp:] for p in prompts]
+            s_max = max(len(r) for r in suffix_rows)
+            s_pad = _bucket_len(s_max)
+            feed_np = np.zeros((b_pad, s_pad), dtype=np.int32)
+            for i, r in enumerate(suffix_rows):
+                feed_np[i, : len(r)] = np.asarray(r, dtype=np.int32)
+            feed = feed_np
+        else:
+            feed = tokens_np
+
         t0 = time.perf_counter()
         last_logits, cache = self._prefill(
             self.model.params,
-            jnp.asarray(tokens_np),
+            jnp.asarray(feed),
             jnp.asarray(lengths_np),
             cache,
         )
+        if (
+            self.prefix_cache is not None
+            and not prefix_hit
+            and lcp >= self.prefix_cache.min_tokens
+        ):
+            snap_k = jnp.array(cache.k[:, 0:1, :lcp])
+            snap_v = jnp.array(cache.v[:, 0:1, :lcp])
+            self.prefix_cache.store(prefix_key, snap_k, snap_v)
         key, sub = jax.random.split(key)
         first_tokens, first_logprobs = sampling.sample_tokens(
             last_logits,
@@ -308,6 +360,7 @@ class DecodeEngine:
             pending_tokens = nxt_tokens
             pending_logprobs = nxt_logprobs
 
+        self.kv_pool.release(cache)
         decode_time = time.perf_counter() - decode_t0
         n_completion = int(sum(n_generated))
         self.metrics["completion_tokens_total"] += n_completion

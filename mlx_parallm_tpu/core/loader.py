@@ -152,14 +152,35 @@ def load_model(
 
     if qz and mirror_int8:
         bits = int(qz.get("bits", 4))
+        gs = int(qz.get("group_size", 64))
+        on_tpu = jax.default_backend() == "tpu"
         for name in list(flat.keys()):
-            # Build an unpacked int8 mirror next to each packed weight so the
-            # XLA grouped matmul path avoids per-call unpacking. Embeddings
-            # (consumed by gather) keep only the packed form.
+            # For each packed linear build the fast-path mirror: on TPU the
+            # fused-kernel layout ("wk", consumed by the Pallas dequant-matmul
+            # when shapes align), otherwise an unpacked int8 mirror ("q8") for
+            # the XLA grouped matmul. Embeddings (consumed by gather) keep
+            # only the packed form.
             if name.endswith(".weight") and name[: -len(".weight")] + ".scales" in flat:
                 if "embed_tokens" in name:
                     continue
-                flat[name[: -len(".weight")] + ".q8"] = quant.unpack(flat[name], bits)
+                base = name[: -len(".weight")]
+                arr = flat[name]
+                built = False
+                if on_tpu and arr.ndim == 2:
+                    from .. import ops as _ops  # noqa: F401
+                    from ..ops import qmm_pallas
+
+                    n, kw_m = arr.shape
+                    k = kw_m * (32 // bits)
+                    probe = jnp.zeros((1, k), jnp.bfloat16)
+                    wk = quant.kernel_pack(arr, gs, bits)
+                    if qmm_pallas.supported(
+                        probe, wk, flat[base + ".scales"], gs, bits
+                    ):
+                        flat[base + ".wk"] = wk
+                        built = True
+                if not built and arr.ndim == 2:
+                    flat[base + ".q8"] = quant.unpack(arr, bits)
 
     nested = P.unflatten(flat)
     model = Model(args=args, params=nested, module=module, config=config, model_path=model_path)

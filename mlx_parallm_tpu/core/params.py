@@ -44,6 +44,7 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
             group_size=gs,
             bits=bits,
             q_int8=p.get("q8"),
+            q_kernel=p.get("wk"),
         )
     else:
         y = x @ p["weight"].T.astype(x.dtype)

@@ -73,18 +73,21 @@ def qmm(
     group_size: int = quant.DEFAULT_GROUP_SIZE,
     bits: int = quant.DEFAULT_BITS,
     q_int8=None,
+    q_kernel=None,
     impl: str = "auto",
 ):
     """Quantized linear: ``x @ dequant(W)^T``.
 
-    ``packed`` is the uint32-packed weight ``(N, K*bits//32)``; ``q_int8`` is an
+    ``packed`` is the MLX uint32-packed weight ``(N, K*bits//32)``;
+    ``q_kernel`` is the optional (Kw, N) fused-kernel layout
+    (quant.kernel_pack) enabling the Pallas path on TPU; ``q_int8`` is an
     optional unpacked int8 mirror ``(N, K)`` enabling the grouped path.
     """
     if impl == "auto":
-        if _on_tpu() and packed is not None:
+        if _on_tpu() and q_kernel is not None:
             from . import qmm_pallas
 
-            if qmm_pallas.supported(x, packed, scales, group_size, bits):
+            if qmm_pallas.supported(x, q_kernel, scales, group_size, bits):
                 impl = "pallas"
             elif q_int8 is not None:
                 impl = "grouped"
@@ -99,7 +102,7 @@ def qmm(
         from . import qmm_pallas
 
         return qmm_pallas.qmm_pallas(
-            x, packed, scales, biases, group_size=group_size, bits=bits
+            x, q_kernel, scales, biases, group_size=group_size, bits=bits
         )
     if impl == "grouped":
         if q_int8 is None:

@@ -33,6 +33,15 @@ N_TILE = 256
 _NIBBLE_MASK = 0x0F0F0F0F
 
 
+def _m_tile(m_pad: int) -> int:
+    """Decode batches use the minimum sublane tile; prefill / large batches
+    use a full MXU-height tile."""
+    for cand in (256, 128, 64, 32):
+        if m_pad % cand == 0:
+            return cand
+    return M_TILE
+
+
 def supported(x, packed_kernel, scales, group_size, bits) -> bool:
     """Shape/alignment gate. ``packed_kernel`` is the (Kw, N) kernel layout."""
     if packed_kernel is None or bits not in (4, 8):
@@ -50,20 +59,29 @@ def supported(x, packed_kernel, scales, group_size, bits) -> bool:
         return False
     if n % N_TILE != 0 or kw % 8 != 0:
         return False
-    if kw * 4 * N_TILE > 8 * 1024 * 1024:  # VMEM budget per tile
-        return False
+    if kw > 512:
+        # K is grid-tiled; need a divisor of Kw that keeps the per-tile plane
+        # rows a multiple of G (valid tile-repeat scale map) and fits VMEM.
+        if not any(
+            kw % d == 0 and (4 * d) % g == 0
+            for d in range(min(kw, 512), 0, -1)
+        ):
+            return False
     return True
 
 
 def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
-    """INT4 tile: two bitcast nibble-plane matmuls + affine bias term."""
+    """INT4 tile: two bitcast nibble-plane matmuls + affine bias term.
+
+    Grid is (M, N, K) with K innermost; the output block is revisited across
+    K steps and accumulated in place."""
+    kt = pl.program_id(2)
     w = w_ref[:]
-    rows = w.shape[0] * 4  # K/2
     even = pltpu.bitcast(w & jnp.uint32(_NIBBLE_MASK), jnp.int8)
     odd = pltpu.bitcast(
         (w >> jnp.uint32(4)) & jnp.uint32(_NIBBLE_MASK), jnp.int8
     )
-    s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (K/2, N) bf16
+    s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (rows_t, N) bf16
     acc = jnp.dot(
         xe_ref[:],
         even.astype(jnp.bfloat16) * s_map,
@@ -74,22 +92,39 @@ def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
         odd.astype(jnp.bfloat16) * s_map,
         preferred_element_type=jnp.float32,
     )
-    acc += jnp.dot(xg_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:] = acc + jnp.dot(
+            xg_ref[:], b_ref[:], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kt != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
 
 
 def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
     """INT8 tile: one bitcast byte-plane matmul + affine bias term."""
+    kt = pl.program_id(2)
     w = w_ref[:]
-    vals = pltpu.bitcast(w, jnp.int8)  # (K, N), stored -128-biased
+    vals = pltpu.bitcast(w, jnp.int8)  # (rows_t, N), stored -128-biased
     s_map = pltpu.repeat(s_ref[:], reps, axis=0)
     acc = jnp.dot(
         xp_ref[:],
         vals.astype(jnp.bfloat16) * s_map,
         preferred_element_type=jnp.float32,
     )
-    acc += jnp.dot(xg_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+
+    @pl.when(kt == 0)
+    def _():
+        out_ref[:] = acc + jnp.dot(
+            xg_ref[:], b_ref[:], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kt != 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "bits"))
@@ -108,10 +143,23 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
     m_pad = max(M_TILE, ((m + M_TILE - 1) // M_TILE) * M_TILE)
     if m_pad != m:
         xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    mt = _m_tile(m_pad)
 
     xg = jnp.sum(
         xf.reshape(m_pad, g, group_size).astype(jnp.float32), axis=-1
     ).astype(jnp.bfloat16)
+
+    # K tiling: pick the largest divisor of Kw whose plane-row count stays a
+    # multiple of G (keeps the tile-repeat scale map valid per K tile) and
+    # whose VMEM footprint fits.
+    kw_tile = kw
+    if kw > 512:
+        for d in range(kw, 0, -1):
+            if kw % d == 0 and (4 * d) % g == 0 and d <= 512:
+                kw_tile = d
+                break
+    n_kt = kw // kw_tile
+    rows_t = 4 * kw_tile  # plane rows per K tile (both bit widths)
 
     scales_t = scales.T.astype(jnp.bfloat16)  # (G, N)
     if bits == 8:
@@ -123,30 +171,30 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
         xp = (
             xf.reshape(m_pad, g, group_size).transpose(0, 2, 1).reshape(m_pad, k)
         )
-        rows = k
-        kernel = functools.partial(_kernel8, reps=rows // g)
+        kernel = functools.partial(_kernel8, reps=rows_t // g)
         x_inputs = [xp]
         x_specs = [
-            pl.BlockSpec((M_TILE, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (mt, rows_t), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM
+            )
         ]
     else:
         biases_t = biases.T.astype(jnp.bfloat16)
         # x_{even,odd}[b, q*G + r] = x[b, r*gs + 2q + p]
         x4 = xf.reshape(m_pad, g, group_size // 2, 2)  # [b, r, q, p]
         xp = x4.transpose(3, 0, 2, 1).reshape(2, m_pad, k // 2)
-        rows = k // 2
-        kernel = functools.partial(_kernel4, reps=rows // g)
+        kernel = functools.partial(_kernel4, reps=rows_t // g)
         x_inputs = [xp[0], xp[1]]
         x_specs = [
             pl.BlockSpec(
-                (M_TILE, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (mt, rows_t), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (M_TILE, k // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (mt, rows_t), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM
             ),
         ]
 
-    grid = (m_pad // M_TILE, n // N_TILE)
+    grid = (m_pad // mt, n // N_TILE, n_kt)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
@@ -154,20 +202,20 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
         in_specs=x_specs
         + [
             pl.BlockSpec(
-                (M_TILE, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (mt, g), lambda i, j, kt: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (kw, N_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (kw_tile, N_TILE), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (g, N_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (g, N_TILE), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (g, N_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (g, N_TILE), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (M_TILE, N_TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (mt, N_TILE), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
