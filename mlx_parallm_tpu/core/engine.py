@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -92,6 +93,7 @@ class DecodeEngine:
         max_context_length: int = 4096,
         kv_step: int = 256,
         disable_prefix_cache: bool = False,
+        decode_steps_per_call: Optional[int] = None,
     ):
         from .cache import GlobalPrefixCache, KVPool
 
@@ -100,6 +102,13 @@ class DecodeEngine:
         self.max_batch_size = max_batch_size
         self.max_context_length = max_context_length
         self.kv_step = kv_step
+        # Device-side steps per dispatch: amortizes host<->device round trips
+        # (streaming deltas arrive in bursts of this size).
+        if decode_steps_per_call is None:
+            decode_steps_per_call = int(
+                os.environ.get("MLX_PARALLM_DECODE_CHUNK", 8)
+            )
+        self.decode_steps_per_call = max(1, decode_steps_per_call)
         self._params_version = -1
         self.kv_pool = KVPool()
         self.prefix_cache = None if disable_prefix_cache else GlobalPrefixCache()
@@ -133,26 +142,67 @@ class DecodeEngine:
             )[:, 0]
             return last, cache
 
-        def decode_step(
-            params, cache, last_tokens, temps, top_ps, key, active, logit_bias
+        def decode_chunk(
+            params,
+            cache,
+            last_tokens,
+            active,
+            counts,
+            max_toks,
+            temps,
+            top_ps,
+            key,
+            logit_bias,
+            eos_arr,
+            n_steps,
         ):
-            logits, cache = apply_fn(params, last_tokens[:, None], cache)
-            logits = logits[:, 0]
-            # Un-advance inactive rows so finished sequences stop consuming
-            # cache capacity.
-            cache = KVCache(
-                k=cache.k,
-                v=cache.v,
-                lengths=cache.lengths - (1 - active.astype(jnp.int32)),
+            """Run ``n_steps`` decode steps entirely on device (lax.scan).
+
+            Device-side EOS/length tracking removes the per-token host round
+            trips of the reference's Python decode loop (reference
+            utils.py:422-427 steps the model once per host iteration); the
+            host drains one chunk of tokens per dispatch.
+            """
+
+            def step(carry, _):
+                cache, tok, active, counts, key = carry
+                logits, cache2 = apply_fn(params, tok[:, None], cache)
+                logits = logits[:, 0]
+                # Un-advance inactive rows so finished sequences stop
+                # consuming cache capacity.
+                cache2 = KVCache(
+                    k=cache2.k,
+                    v=cache2.v,
+                    lengths=cache2.lengths - (1 - active.astype(jnp.int32)),
+                )
+                key, sub = jax.random.split(key)
+                nxt, lps = sampling.sample_tokens(
+                    logits, sub, temps, top_ps, logit_bias
+                )
+                emitted = jnp.where(active, nxt, -1)
+                counts2 = counts + active.astype(jnp.int32)
+                if eos_arr.shape[0] > 0:
+                    is_eos = jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+                else:
+                    is_eos = jnp.zeros_like(active)
+                active2 = active & ~is_eos & (counts2 < max_toks)
+                tok2 = jnp.where(active2, nxt, tok)
+                return (cache2, tok2, active2, counts2, key), (emitted, lps)
+
+            carry, (toks, lps) = jax.lax.scan(
+                step,
+                (cache, last_tokens, active, counts, key),
+                None,
+                length=n_steps,
             )
-            tokens, logprobs = sampling.sample_tokens(
-                logits, key, temps, top_ps, logit_bias
-            )
-            return tokens, logprobs, logits, cache
+            cache, tok, active, counts, key = carry
+            return toks, lps, tok, active, counts, key, cache
 
         # Donating the cache lets XLA update the KV slab in place.
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
-        self._decode = jax.jit(decode_step, donate_argnums=(1,))
+        self._decode_chunk = jax.jit(
+            decode_chunk, static_argnames=("n_steps",), donate_argnums=(1,)
+        )
 
     # ------------------------------------------------------------ utilities
 
@@ -306,59 +356,111 @@ class DecodeEngine:
         active = np.zeros((b_pad,), dtype=bool)
         active[:b] = True
         n_generated = [0] * b
-        finish = [None] * b
+        finish: List[Optional[str]] = [None] * b
 
-        pending_tokens = first_tokens
-        pending_logprobs = first_logprobs
-        params_snapshot = self.model.params  # re-read each step for hot-swap
-
+        # Process the prefill-sampled first token on the host.
+        tok_host = np.asarray(jax.device_get(first_tokens))
+        lp_host = np.asarray(jax.device_get(first_logprobs))
+        out_tokens: List[Optional[int]] = [None] * b
+        out_lps: List[Optional[float]] = [None] * b
+        out_fin: List[Optional[str]] = [None] * b
+        for i in range(b):
+            tid = int(tok_host[i])
+            out_tokens[i] = tid
+            out_lps[i] = float(lp_host[i])
+            n_generated[i] = 1
+            if tid in eos_ids:
+                finish[i] = "stop"
+            elif seq_params[i].max_tokens <= 1:
+                finish[i] = "length"
+            if finish[i]:
+                active[i] = False
+                out_fin[i] = finish[i]
         decode_t0 = time.perf_counter()
-        n_decode_steps = 0
-        while True:
-            # Dispatch the next step before syncing the pending one
-            # (one-step lookahead).
-            any_active = active.any()
-            if any_active:
-                key, sub = jax.random.split(key)
-                params_snapshot = self.model.params
-                nxt_tokens, nxt_logprobs, _, cache = self._decode(
-                    params_snapshot,
-                    cache,
-                    pending_tokens,
-                    jnp.asarray(temps),
-                    jnp.asarray(top_ps),
-                    sub,
-                    jnp.asarray(active),
-                    logit_bias,
-                )
+        yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
 
-            tok_host = np.asarray(jax.device_get(pending_tokens))
-            lp_host = np.asarray(jax.device_get(pending_logprobs))
+        # Chunked device-side decode loop: each dispatch runs `chunk` steps on
+        # device; the host drains whole chunks (one transfer per chunk) with
+        # one-chunk lookahead.
+        chunk = max(1, int(self.decode_steps_per_call))
+        max_toks_dev = jnp.asarray(
+            [p.max_tokens for p in seq_params] + [1] * (b_pad - b),
+            dtype=jnp.int32,
+        )
+        eos_arr = jnp.asarray(sorted(eos_ids), dtype=jnp.int32)
+        temps_dev = jnp.asarray(temps)
+        top_ps_dev = jnp.asarray(top_ps)
+        counts_dev = jnp.asarray(active, dtype=jnp.int32)
+        active_dev = jnp.asarray(active)
+        tok_dev = first_tokens
+        n_decoded_total = 0
 
-            out_tokens: List[Optional[int]] = [None] * b
-            out_lps: List[Optional[float]] = [None] * b
-            out_fin: List[Optional[str]] = [None] * b
-            for i in range(b):
-                if not active[i]:
-                    continue
-                tid = int(tok_host[i])
-                out_tokens[i] = tid
-                out_lps[i] = float(lp_host[i])
-                n_generated[i] += 1
-                if tid in eos_ids:
-                    finish[i] = "stop"
-                elif n_generated[i] >= seq_params[i].max_tokens:
-                    finish[i] = "length"
-                if finish[i]:
-                    active[i] = False
-                    out_fin[i] = finish[i]
-            yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
-            n_decode_steps += 1
+        key_dev = key
 
-            if not active.any():
-                break
-            pending_tokens = nxt_tokens
-            pending_logprobs = nxt_logprobs
+        def dispatch(cache, tok_dev, active_dev, counts_dev, key_dev):
+            return self._decode_chunk(
+                self.model.params,
+                cache,
+                tok_dev,
+                active_dev,
+                counts_dev,
+                max_toks_dev,
+                temps_dev,
+                top_ps_dev,
+                key_dev,
+                logit_bias,
+                eos_arr,
+                chunk,
+            )
+
+        pending = None
+        if active.any():
+            pending = dispatch(cache, tok_dev, active_dev, counts_dev, key_dev)
+            cache = pending[6]
+
+        while pending is not None:
+            toks, lps, tok_dev, active_dev, counts_dev, key_dev, _cache = pending
+            # Speculatively dispatch the next chunk from the current chunk's
+            # device outputs BEFORE draining it to the host — the device never
+            # idles on host processing. (Costs up to one wasted chunk at the
+            # very end.)
+            nxt = dispatch(cache, tok_dev, active_dev, counts_dev, key_dev)
+            cache = nxt[6]
+
+            toks_host = np.asarray(jax.device_get(toks))  # (S, B)
+            lps_host = np.asarray(jax.device_get(lps))
+
+            done_batch = False
+            for s in range(toks_host.shape[0]):
+                out_tokens = [None] * b
+                out_lps = [None] * b
+                out_fin = [None] * b
+                emitted_any = False
+                for i in range(b):
+                    if finish[i] is not None:
+                        continue
+                    tid = int(toks_host[s, i])
+                    if tid < 0:
+                        continue
+                    emitted_any = True
+                    out_tokens[i] = tid
+                    out_lps[i] = float(lps_host[s, i])
+                    n_generated[i] += 1
+                    n_decoded_total += 1
+                    if tid in eos_ids:
+                        finish[i] = "stop"
+                    elif n_generated[i] >= seq_params[i].max_tokens:
+                        finish[i] = "length"
+                    if finish[i]:
+                        out_fin[i] = finish[i]
+                if emitted_any:
+                    yield StepOutput(
+                        tokens=out_tokens, logprobs=out_lps, finished=out_fin
+                    )
+                if all(f is not None for f in finish):
+                    done_batch = True
+                    break
+            pending = None if done_batch else nxt
 
         self.kv_pool.release(cache)
         decode_time = time.perf_counter() - decode_t0
