@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduler", choices=["default", "continuous"], default="default")
     p.add_argument("--diverse-mode", action="store_true")
     p.add_argument("--max-context-length", type=int, default=32768)
+    p.add_argument(
+        "--kv-bits",
+        type=int,
+        choices=[8, 16],
+        default=16,
+        help="KV cache precision: 8 = INT8-quantized KV (half memory)",
+    )
     return p
 
 
@@ -46,6 +53,7 @@ def args_from_namespace(ns: argparse.Namespace) -> ServerArgs:
         scheduler=ns.scheduler,
         diverse_mode=ns.diverse_mode,
         max_context_length=ns.max_context_length,
+        kv_bits=ns.kv_bits,
     )
 
 

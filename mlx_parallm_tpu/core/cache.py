@@ -36,30 +36,40 @@ class KVPool:
         self.max_per_key = max_per_key
 
     def acquire(
-        self, num_layers: int, batch: int, capacity: int, heads: int, dim: int, dtype=jnp.bfloat16
-    ) -> KVCache:
-        key = (num_layers, batch, capacity, heads, dim, str(dtype))
+        self,
+        num_layers: int,
+        batch: int,
+        capacity: int,
+        heads: int,
+        dim: int,
+        dtype=jnp.bfloat16,
+        kv_bits: int = 16,
+    ):
+        from ..models.base import QuantizedKVCache
+
+        key = (num_layers, batch, capacity, heads, dim, str(dtype), kv_bits)
         with self._lock:
             stack = self._free.get(key)
             if stack:
                 slab = stack.pop()
-                return KVCache(
-                    k=jnp.zeros_like(slab.k),
-                    v=jnp.zeros_like(slab.v),
-                    lengths=jnp.zeros_like(slab.lengths),
-                )
+                return jax.tree_util.tree_map(jnp.zeros_like, slab)
+        if kv_bits == 8:
+            return QuantizedKVCache.init(num_layers, batch, capacity, heads, dim)
         return KVCache.init(num_layers, batch, capacity, heads, dim, dtype=dtype)
 
-    def release(self, cache: Optional[KVCache]) -> None:
+    def release(self, cache) -> None:
         if cache is None:
             return
+        kv_bits = 8 if cache.k.dtype == jnp.int8 else 16
+        dtype = jnp.bfloat16 if kv_bits == 8 else cache.k.dtype
         key = (
             cache.k.shape[0],
             cache.k.shape[1],
             cache.k.shape[2],
             cache.k.shape[3],
             cache.k.shape[4],
-            str(cache.k.dtype),
+            str(dtype),
+            kv_bits,
         )
         with self._lock:
             stack = self._free.setdefault(key, [])
@@ -76,7 +86,7 @@ class GlobalPrefixCache:
     def __init__(self, capacity: int = 4, min_tokens: int = 64):
         self.capacity = capacity
         self.min_tokens = min_tokens
-        self._d: "OrderedDict[tuple, Tuple[jax.Array, jax.Array, int]]" = OrderedDict()
+        self._d: "OrderedDict[tuple, dict]" = OrderedDict()
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
@@ -86,7 +96,7 @@ class GlobalPrefixCache:
         return (n // PREFIX_BUCKET) * PREFIX_BUCKET
 
     def lookup(self, prefix_tokens: Tuple[int, ...]):
-        """Returns (k, v, length) snapshot or None. k/v: (L, 1, P, H, D)."""
+        """Returns a per-leaf snapshot dict (see ``snapshot_prefix``) or None."""
         key = tuple(prefix_tokens)
         with self._lock:
             if key in self._d:
@@ -96,12 +106,12 @@ class GlobalPrefixCache:
             self.misses += 1
             return None
 
-    def store(self, prefix_tokens: Tuple[int, ...], k, v) -> None:
+    def store(self, prefix_tokens: Tuple[int, ...], snapshot: dict) -> None:
         if len(prefix_tokens) < self.min_tokens:
             return
         key = tuple(prefix_tokens)
         with self._lock:
-            self._d[key] = (k, v, len(prefix_tokens))
+            self._d[key] = snapshot
             self._d.move_to_end(key)
             while len(self._d) > self.capacity:
                 self._d.popitem(last=False)
@@ -111,19 +121,35 @@ class GlobalPrefixCache:
             self._d.clear()
 
 
-def seed_cache_with_prefix(cache: KVCache, snap_k, snap_v, length: int) -> KVCache:
-    """Broadcast a (L, 1, P, H, D) snapshot into every row of a batch slab and
-    set all row lengths to ``length``."""
+def seed_cache_with_prefix(cache, snapshot: dict, length: int):
+    """Broadcast per-leaf (L, 1, P, ...) snapshots into every row of a batch
+    slab and set all row lengths to ``length``. Works for both float and
+    int8-quantized caches (snapshot holds whatever leaves the cache type has,
+    except ``lengths``)."""
+    import dataclasses as _dc
+
     b = cache.batch_size
-    k = cache.k.at[:, :, :length].set(
-        jnp.broadcast_to(snap_k, (snap_k.shape[0], b, length, *snap_k.shape[3:]))
-    )
-    v = cache.v.at[:, :, :length].set(
-        jnp.broadcast_to(snap_v, (snap_v.shape[0], b, length, *snap_v.shape[3:]))
-    )
-    return KVCache(
-        k=k, v=v, lengths=jnp.full_like(cache.lengths, length)
-    )
+    updates = {}
+    for name, snap in snapshot.items():
+        buf = getattr(cache, name)
+        updates[name] = buf.at[:, :, :length].set(
+            jnp.broadcast_to(snap, (snap.shape[0], b, length, *snap.shape[3:]))
+        )
+    updates["lengths"] = jnp.full_like(cache.lengths, length)
+    return _dc.replace(cache, **updates)
+
+
+def snapshot_prefix(cache, length: int) -> dict:
+    """Row-0 per-leaf snapshots of the first ``length`` positions."""
+    import dataclasses as _dc
+
+    out = {}
+    for field in _dc.fields(cache):
+        if field.name == "lengths":
+            continue
+        buf = getattr(cache, field.name)
+        out[field.name] = jnp.array(buf[:, 0:1, :length])
+    return out
 
 
 def common_prefix_length(rows: List[List[int]]) -> int:

@@ -94,6 +94,7 @@ class DecodeEngine:
         kv_step: int = 256,
         disable_prefix_cache: bool = False,
         decode_steps_per_call: Optional[int] = None,
+        kv_bits: int = 16,
     ):
         from .cache import GlobalPrefixCache, KVPool
 
@@ -109,6 +110,7 @@ class DecodeEngine:
                 os.environ.get("MLX_PARALLM_DECODE_CHUNK", 8)
             )
         self.decode_steps_per_call = max(1, decode_steps_per_call)
+        self.kv_bits = kv_bits
         self._params_version = -1
         self.kv_pool = KVPool()
         self.prefix_cache = None if disable_prefix_cache else GlobalPrefixCache()
@@ -217,6 +219,7 @@ class DecodeEngine:
             capacity,
             self.model.n_kv_heads(),
             self.model.head_dim(),
+            kv_bits=self.kv_bits,
         )
         mesh = getattr(self.model, "mesh", None)
         if mesh is not None:
@@ -291,6 +294,7 @@ class DecodeEngine:
             GlobalPrefixCache,
             common_prefix_length,
             seed_cache_with_prefix,
+            snapshot_prefix,
         )
 
         lcp = 0
@@ -305,7 +309,7 @@ class DecodeEngine:
                 prefix_key = tuple(prompts[0][:lcp])
                 snap = self.prefix_cache.lookup(prefix_key)
                 if snap is not None:
-                    cache = seed_cache_with_prefix(cache, snap[0], snap[1], lcp)
+                    cache = seed_cache_with_prefix(cache, snap, lcp)
                     prefix_hit = True
             else:
                 lcp = 0
@@ -333,9 +337,7 @@ class DecodeEngine:
             and not prefix_hit
             and lcp >= self.prefix_cache.min_tokens
         ):
-            snap_k = jnp.array(cache.k[:, 0:1, :lcp])
-            snap_v = jnp.array(cache.v[:, 0:1, :lcp])
-            self.prefix_cache.store(prefix_key, snap_k, snap_v)
+            self.prefix_cache.store(prefix_key, snapshot_prefix(cache, lcp))
         key, sub = jax.random.split(key)
         first_tokens, first_logprobs = sampling.sample_tokens(
             last_logits,

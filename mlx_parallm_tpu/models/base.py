@@ -103,10 +103,111 @@ class KVCache:
         """Advance per-row valid lengths by ``step_lengths`` (B,) tokens."""
         return KVCache(k=self.k, v=self.v, lengths=self.lengths + step_lengths)
 
+    def layer_view(self, layer: int):
+        """(k, v) slabs for attention: (B, S, H, D) each."""
+        return self.k[layer], self.v[layer]
+
     def select_rows(self, row_idx: jax.Array) -> "KVCache":
         return KVCache(
             k=self.k[:, row_idx], v=self.v[:, row_idx], lengths=self.lengths[row_idx]
         )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedKVCache:
+    """INT8-quantized KV slab with per-(position, head) scales.
+
+    North-star capability absent from the reference (BASELINE.json config #5):
+    halves KV memory so a chip holds 2x the context/batch. Keys/values are
+    quantized along the head dimension at write time
+    (``scale = max|x| / 127``) and dequantized in the attention read path.
+
+    Same interface as :class:`KVCache` (``update_layer`` / ``advance`` /
+    ``layer_view`` / ``lengths``), so engines and models are storage-agnostic.
+    """
+
+    k: jax.Array  # int8 (L, B, S, H, D)
+    v: jax.Array
+    k_scale: jax.Array  # bf16 (L, B, S, H)
+    v_scale: jax.Array
+    lengths: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+    @staticmethod
+    def init(
+        num_layers: int,
+        batch_size: int,
+        capacity: int,
+        n_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "QuantizedKVCache":
+        shape = (num_layers, batch_size, capacity, n_kv_heads, head_dim)
+        sshape = shape[:-1]
+        return QuantizedKVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            k_scale=jnp.zeros(sshape, dtype=jnp.bfloat16),
+            v_scale=jnp.zeros(sshape, dtype=jnp.bfloat16),
+            lengths=jnp.zeros((batch_size,), dtype=jnp.int32),
+        )
+
+    @staticmethod
+    def _quantize(x: jax.Array):
+        """x: (B, T, H, D) float -> (int8 values, (B, T, H) scales)."""
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q, scale.astype(jnp.bfloat16)
+
+    def update_layer(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array
+    ) -> "QuantizedKVCache":
+        kq, ks = self._quantize(k_new)
+        vq, vs = self._quantize(v_new)
+
+        def write_row(buf_row, new_row, off):
+            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
+
+        def write_row_s(buf_row, new_row, off):
+            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0))
+
+        k_l = jax.vmap(write_row)(self.k[layer], kq, self.lengths)
+        v_l = jax.vmap(write_row)(self.v[layer], vq, self.lengths)
+        ks_l = jax.vmap(write_row_s)(self.k_scale[layer], ks, self.lengths)
+        vs_l = jax.vmap(write_row_s)(self.v_scale[layer], vs, self.lengths)
+        return QuantizedKVCache(
+            k=self.k.at[layer].set(k_l),
+            v=self.v.at[layer].set(v_l),
+            k_scale=self.k_scale.at[layer].set(ks_l),
+            v_scale=self.v_scale.at[layer].set(vs_l),
+            lengths=self.lengths,
+        )
+
+    def advance(self, step_lengths: jax.Array) -> "QuantizedKVCache":
+        return QuantizedKVCache(
+            k=self.k,
+            v=self.v,
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+            lengths=self.lengths + step_lengths,
+        )
+
+    def layer_view(self, layer: int):
+        """Dequantized (k, v) slabs for attention: (B, S, H, D) bf16."""
+        k = self.k[layer].astype(jnp.bfloat16) * self.k_scale[layer][..., None]
+        v = self.v[layer].astype(jnp.bfloat16) * self.v_scale[layer][..., None]
+        return k, v
 
 
 def make_positions(offsets: jax.Array, t: int) -> jax.Array:

@@ -81,10 +81,11 @@ def _attention_block(args: ModelArgs, p, x, cache: Optional[KVCache], layer: int
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         cache = cache.update_layer(layer, k, v)
+        k_slab, v_slab = cache.layer_view(layer)
         out = attention.sdpa(
             q,
-            cache.k[layer],
-            cache.v[layer],
+            k_slab,
+            v_slab,
             q_offsets=cache.lengths,
             scale=d**-0.5,
         )

@@ -76,6 +76,7 @@ class ServerArgs:
     scheduler: str = "default"  # "default" | "continuous"
     diverse_mode: bool = False
     max_context_length: int = 32768
+    kv_bits: int = 16
 
     @classmethod
     def from_env(cls) -> "ServerArgs":
@@ -100,6 +101,7 @@ class ServerArgs:
             max_context_length=int(
                 os.environ.get("MAX_CONTEXT_LENGTH", 32768)
             ),
+            kv_bits=int(os.environ.get("KV_BITS", 16)),
         )
 
 
@@ -286,6 +288,7 @@ async def startup_event(app: web.Application) -> None:
             tokenizer,
             max_batch_size=args.max_batch_size,
             max_context_length=args.max_context_length,
+            kv_bits=args.kv_bits,
         )
         record.adapter_path = args.lora_path
         record.status = ModelStatus.LOADED

@@ -67,9 +67,9 @@ def test_prefix_cache_lru_eviction():
     pc = GlobalPrefixCache(capacity=2, min_tokens=1)
     import jax.numpy as jnp
 
-    snap = (jnp.zeros((1, 1, 4, 1, 2)), jnp.zeros((1, 1, 4, 1, 2)))
-    pc.store((1, 2, 3, 4), *snap)
-    pc.store((5, 6, 7, 8), *snap)
-    pc.store((9, 10, 11, 12), *snap)
+    snap = {"k": jnp.zeros((1, 1, 4, 1, 2)), "v": jnp.zeros((1, 1, 4, 1, 2))}
+    pc.store((1, 2, 3, 4), snap)
+    pc.store((5, 6, 7, 8), snap)
+    pc.store((9, 10, 11, 12), snap)
     assert pc.lookup((1, 2, 3, 4)) is None  # evicted
     assert pc.lookup((9, 10, 11, 12)) is not None
