@@ -1,0 +1,338 @@
+"""Slot-based continuous batching engine.
+
+The reference's "continuous" scheduler restarts the whole batch to admit new
+requests, recomputing the KV of every running sequence (reference:
+/root/reference/mlx_parallm/server/main.py:1657-1671 — acknowledged
+limitation). This engine is the TPU-native fix (SURVEY §7.2.5, §7.4.2):
+
+  * a FIXED pool of decode slots backed by one persistent KV slab
+    (static shapes — XLA compiles exactly two programs: prefill + chunk);
+  * new requests are prefilled into a scratch cache and INSERTED into free
+    slots between decode chunks (``lax.dynamic_update_slice`` on the batch
+    axis) — running sequences keep their KV and never recompute;
+  * finished slots are freed and immediately reusable;
+  * decode runs in device-side chunks (lax.scan) like DecodeEngine.
+
+The engine owns a driver thread; requests are submitted from any thread and
+stream their tokens through per-request callbacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import KVCache
+from ..ops import sampling
+from .engine import SamplingParams, _bucket_len
+from .loader import Model
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SlotRequest:
+    """A request admitted to the slot engine. ``on_token(token, finish)`` is
+    called from the driver thread for every generated token; ``finish`` is
+    'stop' | 'length' on the final call."""
+
+    prompt_tokens: List[int]
+    params: SamplingParams
+    on_token: Callable[[int, Optional[str]], None]
+    request_id: int = 0
+
+
+class SlotEngine:
+    def __init__(
+        self,
+        model: Model,
+        tokenizer,
+        *,
+        num_slots: int = 8,
+        max_context_length: int = 2048,
+        decode_steps_per_call: int = 8,
+        kv_bits: int = 16,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.num_slots = num_slots
+        self.capacity = max_context_length
+        self.chunk = decode_steps_per_call
+        self.kv_bits = kv_bits
+
+        self._submit_q: "queue.Queue[SlotRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        # Host-side slot table.
+        self._slot_req: List[Optional[SlotRequest]] = [None] * num_slots
+        self._slot_generated: List[int] = [0] * num_slots
+
+        self.metrics = {
+            "decode_tokens_total": 0,
+            "decode_time_total": 0.0,
+            "admitted_total": 0,
+            "active_slots": 0,
+        }
+
+        from .cache import KVPool
+
+        self._pool = KVPool()
+        self._build_state()
+        self._build_jit()
+
+    # ----------------------------------------------------------- device state
+
+    def _build_state(self):
+        self._cache = self._pool.acquire(
+            self.model.num_layers,
+            self.num_slots,
+            self.capacity,
+            self.model.n_kv_heads(),
+            self.model.head_dim(),
+            kv_bits=self.kv_bits,
+        )
+        b = self.num_slots
+        self._active = jnp.zeros((b,), dtype=bool)
+        self._counts = jnp.zeros((b,), dtype=jnp.int32)
+        self._max_toks = jnp.ones((b,), dtype=jnp.int32)
+        self._temps = jnp.zeros((b,), dtype=jnp.float32)
+        self._top_ps = jnp.ones((b,), dtype=jnp.float32)
+        self._last_tokens = jnp.zeros((b,), dtype=jnp.int32)
+        self._key = jax.random.PRNGKey(time.time_ns() % (2**31))
+        eos = sorted(getattr(self.tokenizer, "eos_token_ids", set()) or set())
+        self._eos_arr = jnp.asarray(eos, dtype=jnp.int32)
+
+    # ------------------------------------------------------------------- jit
+
+    def _build_jit(self):
+        apply_fn = self.model.apply_fn()
+        num_slots = self.num_slots
+
+        def prefill_one(params, tokens, length, cache1):
+            """Single-request prefill into a 1-row scratch cache."""
+            logits, cache1 = apply_fn(params, tokens, cache1)
+            cache1 = dataclasses.replace(cache1, lengths=length)
+            last = jnp.take_along_axis(
+                logits, (length - 1)[:, None, None], axis=1
+            )[:, 0]
+            return last, cache1
+
+        def insert_slot(cache, cache1, slot, length, slot_lengths):
+            """Copy the scratch row into slot ``slot`` of the persistent slab."""
+            updates = {}
+            for field in dataclasses.fields(cache):
+                if field.name == "lengths":
+                    continue
+                buf = getattr(cache, field.name)  # (L, B, S, ...)
+                row = getattr(cache1, field.name)  # (L, 1, S, ...)
+                updates[field.name] = jax.lax.dynamic_update_slice(
+                    buf, row, (0, slot) + (0,) * (buf.ndim - 2)
+                )
+            updates["lengths"] = slot_lengths
+            return dataclasses.replace(cache, **updates)
+
+        def decode_chunk(
+            params, cache, last_tokens, active, counts, max_toks,
+            temps, top_ps, key, eos_arr, n_steps,
+        ):
+            def step(carry, _):
+                cache, tok, active, counts, key = carry
+                logits, cache2 = apply_fn(params, tok[:, None], cache)
+                logits = logits[:, 0]
+                cache2 = dataclasses.replace(
+                    cache2,
+                    lengths=cache2.lengths - (1 - active.astype(jnp.int32)),
+                )
+                key, sub = jax.random.split(key)
+                nxt, lps = sampling.sample_tokens(logits, sub, temps, top_ps)
+                emitted = jnp.where(active, nxt, -1)
+                counts2 = counts + active.astype(jnp.int32)
+                if eos_arr.shape[0] > 0:
+                    is_eos = jnp.any(nxt[:, None] == eos_arr[None, :], axis=-1)
+                else:
+                    is_eos = jnp.zeros_like(active)
+                active2 = active & ~is_eos & (counts2 < max_toks)
+                tok2 = jnp.where(active2, nxt, tok)
+                return (cache2, tok2, active2, counts2, key), (emitted, lps)
+
+            carry, (toks, lps) = jax.lax.scan(
+                step, (cache, last_tokens, active, counts, key), None,
+                length=n_steps,
+            )
+            cache, tok, active, counts, key = carry
+            return toks, lps, tok, active, counts, key, cache
+
+        self._prefill_one = jax.jit(prefill_one, donate_argnums=(3,))
+        self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
+        self._decode_chunk = jax.jit(
+            decode_chunk, static_argnames=("n_steps",), donate_argnums=(1,)
+        )
+
+    # ------------------------------------------------------------ public API
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="slot-engine"
+            )
+            self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, req: SlotRequest) -> None:
+        self._submit_q.put(req)
+        self._wake.set()
+
+    @property
+    def free_slots(self) -> int:
+        return sum(1 for r in self._slot_req if r is None)
+
+    # ---------------------------------------------------------------- driver
+
+    def _admit(self) -> bool:
+        """Prefill + insert queued requests into free slots. Returns True if
+        anything was admitted."""
+        admitted = False
+        while True:
+            free = [i for i, r in enumerate(self._slot_req) if r is None]
+            if not free:
+                break
+            try:
+                req = self._submit_q.get_nowait()
+            except queue.Empty:
+                break
+            slot = free[0]
+            ids = list(req.prompt_tokens)[- (self.capacity - req.params.max_tokens - 1):]
+            t_pad = _bucket_len(len(ids))
+            tokens = np.zeros((1, t_pad), dtype=np.int32)
+            tokens[0, : len(ids)] = ids
+
+            scratch = self._pool.acquire(
+                self.model.num_layers, 1, self.capacity,
+                self.model.n_kv_heads(), self.model.head_dim(),
+                kv_bits=self.kv_bits,
+            )
+            last_logits, scratch = self._prefill_one(
+                self.model.params,
+                jnp.asarray(tokens),
+                jnp.asarray([len(ids)], dtype=jnp.int32),
+                scratch,
+            )
+            # Sample the first token.
+            self._key, sub = jax.random.split(self._key)
+            first, _lp = sampling.sample_tokens(
+                last_logits,
+                sub,
+                jnp.asarray([req.params.temperature], jnp.float32),
+                jnp.asarray([req.params.top_p], jnp.float32),
+            )
+            first_tok = int(jax.device_get(first)[0])
+
+            # Update host slot table + device vectors.
+            self._slot_req[slot] = req
+            self._slot_generated[slot] = 1
+            eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
+            finish = None
+            if first_tok in eos_ids:
+                finish = "stop"
+            elif req.params.max_tokens <= 1:
+                finish = "length"
+            req.on_token(first_tok, finish)
+
+            new_lengths = self._cache.lengths.at[slot].set(len(ids))
+            self._cache = self._insert_slot(
+                self._cache,
+                scratch,
+                slot,
+                jnp.asarray([len(ids)], dtype=jnp.int32),
+                new_lengths,
+            )
+            slot_active = finish is None
+            self._active = self._active.at[slot].set(slot_active)
+            self._counts = self._counts.at[slot].set(1)
+            self._max_toks = self._max_toks.at[slot].set(req.params.max_tokens)
+            self._temps = self._temps.at[slot].set(req.params.temperature)
+            self._top_ps = self._top_ps.at[slot].set(req.params.top_p)
+            self._last_tokens = self._last_tokens.at[slot].set(first_tok)
+            if not slot_active:
+                self._slot_req[slot] = None
+            self.metrics["admitted_total"] += 1
+            admitted = True
+        return admitted
+
+    def _run(self):
+        logger.info(
+            "SlotEngine started: %d slots, capacity %d",
+            self.num_slots,
+            self.capacity,
+        )
+        eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
+        while not self._stop.is_set():
+            self._admit()
+            if not any(r is not None for r in self._slot_req):
+                # Idle: wait for work.
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            t0 = time.perf_counter()
+            (
+                toks, lps, self._last_tokens, self._active, self._counts,
+                self._key, self._cache,
+            ) = self._decode_chunk(
+                self.model.params,
+                self._cache,
+                self._last_tokens,
+                self._active,
+                self._counts,
+                self._max_toks,
+                self._temps,
+                self._top_ps,
+                self._key,
+                self._eos_arr,
+                self.chunk,
+            )
+            toks_host = np.asarray(jax.device_get(toks))  # (S, B)
+            dt = time.perf_counter() - t0
+
+            n_emitted = 0
+            for s in range(toks_host.shape[0]):
+                for slot in range(self.num_slots):
+                    req = self._slot_req[slot]
+                    if req is None:
+                        continue
+                    tid = int(toks_host[s, slot])
+                    if tid < 0:
+                        continue
+                    self._slot_generated[slot] += 1
+                    n_emitted += 1
+                    finish = None
+                    if tid in eos_ids:
+                        finish = "stop"
+                    elif self._slot_generated[slot] >= req.params.max_tokens:
+                        finish = "length"
+                    req.on_token(tid, finish)
+                    if finish:
+                        self._slot_req[slot] = None
+
+            self.metrics["decode_tokens_total"] += n_emitted
+            self.metrics["decode_time_total"] += dt
+            self.metrics["active_slots"] = sum(
+                1 for r in self._slot_req if r is not None
+            )
+        logger.info("SlotEngine stopped")

@@ -905,23 +905,161 @@ async def streaming_batch_worker(app: web.Application) -> None:
 
 
 async def continuous_scheduler_worker(app: web.Application) -> None:
-    """Unified admit-on-step scheduler mixing streaming + non-streaming
-    (parity: reference server/main.py:1404-1726). This first version follows
-    the reference's restart-on-admit contract; the slot-based engine that
-    admits without recomputing running sequences is the planned upgrade
-    (SURVEY §7.5)."""
+    """Slot-based continuous scheduler: mixes streaming + non-streaming
+    requests in one persistent decode-slot pool.
+
+    Replaces the reference's restart-on-admit contract (reference
+    server/main.py:1404-1726, admission at :1657-1671 recomputes running
+    sequences) with true in-flight admission: new requests are prefilled into
+    free slots between device decode chunks while running sequences keep
+    their KV (SURVEY §7.5 planned fix, implemented in core/slot_engine.py)."""
+    from ..core.slot_engine import SlotEngine, SlotRequest
+
     args: ServerArgs = app["args"]
     req_q: asyncio.Queue = app["request_queue"]
     stream_q: asyncio.Queue = app["stream_chat_queue"]
     loop = asyncio.get_running_loop()
-    logger.info("continuous_scheduler_worker started")
 
-    # Carried-over state for requests interrupted by an admission break.
-    pending: List[dict] = []
+    rec = state.get_active_record()
+    while rec is None:
+        await asyncio.sleep(0.2)
+        rec = state.get_active_record()
+    tok = rec.tokenizer_instance
+    model = rec.model_instance
 
-    while True:
-        # Prime: wait for any work.
-        if not pending and req_q.empty() and stream_q.empty():
+    engine = SlotEngine(
+        model,
+        tok,
+        num_slots=args.max_batch_size,
+        max_context_length=min(args.max_context_length, 4096),
+        kv_bits=args.kv_bits,
+    )
+    engine.start()
+    app["slot_engine"] = engine
+    logger.info("continuous_scheduler_worker started (slot engine)")
+
+    def submit_completion(qr: QueuedRequest) -> None:
+        """Expand by n; each choice gets its own slot + RNG stream."""
+        n = qr.n
+        results: List[Optional[Tuple[str, int, int, str]]] = [None] * n
+        prompt_ids = G.encode_cached(tok, qr.prompt)
+        remaining = {"n": n}
+
+        def make_cb(choice: int):
+            ids: List[int] = []
+
+            def on_token(tid: int, finish: Optional[str]) -> None:
+                if finish != "stop":
+                    ids.append(tid)
+                if finish:
+                    text = tok.decode(ids, skip_special_tokens=True)
+                    results[choice] = (text, len(prompt_ids), len(ids), finish)
+                    remaining["n"] -= 1
+                    if remaining["n"] == 0:
+                        loop.call_soon_threadsafe(finalize)
+
+            return on_token
+
+        def finalize() -> None:
+            if qr.future.done():
+                return
+            choices = []
+            usage = UsageInfo()
+            for ci in range(n):
+                text, n_p, n_c, finish = results[ci]
+                usage.prompt_tokens += n_p
+                usage.completion_tokens += n_c
+                if qr.is_chat:
+                    choices.append(
+                        ChatCompletionChoice(
+                            index=ci,
+                            message=ChatMessage(role="assistant", content=text),
+                            finish_reason=finish,
+                        )
+                    )
+                else:
+                    choices.append(
+                        CompletionChoice(
+                            index=ci, text=text, finish_reason=finish
+                        )
+                    )
+            usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+            if qr.is_chat:
+                resp = ChatCompletionResponse(
+                    model=qr.request.model, choices=choices, usage=usage
+                )
+            else:
+                resp = CompletionResponse(
+                    model=qr.request.model, choices=choices, usage=usage
+                )
+            qr.future.set_result(resp)
+
+        for choice in range(n):
+            sp = _sp_from_request(qr.request, qr.max_tokens, seed_offset=choice)
+            engine.submit(
+                SlotRequest(
+                    prompt_tokens=prompt_ids,
+                    params=sp,
+                    on_token=make_cb(choice),
+                )
+            )
+
+    def submit_stream(it: StreamQueuedChat) -> None:
+        prompt_ids = G.encode_cached(tok, it.prompt)
+        sp = _sp_from_request(it.request, it.request.max_tokens or 128)
+        detok = tok.make_detokenizer()
+        first = {"v": True}
+        chunk_id = {"v": None}
+
+        def emit(line: str) -> None:
+            loop.call_soon_threadsafe(it.queue.put_nowait, line)
+
+        def on_token(tid: int, finish: Optional[str]) -> None:
+            if first["v"]:
+                role_chunk = ChatCompletionChunk(
+                    model=it.request.model,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=0, delta=DeltaMessage(role="assistant")
+                        )
+                    ],
+                )
+                chunk_id["v"] = role_chunk.id
+                emit(f"data: {role_chunk.model_dump_json()}\n\n")
+                first["v"] = False
+            delta = ""
+            if finish == "stop":
+                detok.finalize()
+                delta = detok.last_segment
+            else:
+                detok.add_token(tid)
+                delta = detok.last_segment
+                if finish == "length":
+                    detok.finalize()
+                    delta += detok.last_segment
+            if delta or finish:
+                chunk = ChatCompletionChunk(
+                    model=it.request.model,
+                    choices=[
+                        ChatCompletionStreamChoice(
+                            index=0,
+                            delta=DeltaMessage(content=delta or None),
+                            finish_reason=finish,
+                        )
+                    ],
+                )
+                if chunk_id["v"]:
+                    chunk.id = chunk_id["v"]
+                emit(f"data: {chunk.model_dump_json()}\n\n")
+            if finish:
+                loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
+
+        engine.submit(
+            SlotRequest(prompt_tokens=prompt_ids, params=sp, on_token=on_token)
+        )
+
+    try:
+        while True:
             get_req = asyncio.ensure_future(req_q.get())
             get_stream = asyncio.ensure_future(stream_q.get())
             done, pend = await asyncio.wait(
@@ -931,239 +1069,26 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 p.cancel()
             for d in done:
                 item = d.result()
+                METRICS["queue_depth"] = req_q.qsize()
+                _record_batch_fill(
+                    max(1, args.max_batch_size - engine.free_slots),
+                    args.max_batch_size,
+                )
                 if isinstance(item, QueuedRequest):
-                    pending.append(_cont_entry_from_queued(item))
+                    submit_completion(item)
                 else:
-                    pending.append(_cont_entry_from_stream(item))
-
-        # Fill window.
-        deadline = time.monotonic() + args.batch_timeout
-        while len(pending) < args.max_batch_size:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
-                break
-            gets = []
-            if True:
-                gets.append(asyncio.ensure_future(req_q.get()))
-                gets.append(asyncio.ensure_future(stream_q.get()))
-            done, pend = await asyncio.wait(
-                gets, timeout=timeout, return_when=asyncio.FIRST_COMPLETED
-            )
-            for p in pend:
-                p.cancel()
-            if not done:
-                break
-            for d in done:
-                item = d.result()
-                if isinstance(item, QueuedRequest):
-                    pending.append(_cont_entry_from_queued(item))
-                else:
-                    pending.append(_cont_entry_from_stream(item))
-
-        rec = state.get_active_record()
-        if rec is None:
-            for e in pending:
-                _cont_fail(e, RuntimeError("No model loaded"))
-            pending = []
-            continue
-
-        active = pending[: args.max_batch_size]
-        pending = pending[args.max_batch_size :]
-        _record_batch_fill(len(active), args.max_batch_size)
-
-        tok = rec.tokenizer_instance
-        model = rec.model_instance
-        prompt_rows = []
-        for e in active:
-            ids = G.encode_cached(tok, e["prompt"])
-            # Re-admitted entries continue from prompt + generated so far.
-            prompt_rows.append(ids + e["generated_ids"])
-
-        sps = [e["sp"] for e in active]
-        remaining = [
-            max(1, e["sp"].max_tokens - len(e["generated_ids"])) for e in active
-        ]
-
-        outq: asyncio.Queue = asyncio.Queue()
-
-        def producer():
-            try:
-                stream = G.batch_stream_generate_text(
-                    model,
-                    tok,
-                    prompt_rows,
-                    remaining,
-                    temps=[sp.temperature for sp in sps],
-                    top_ps=[sp.top_p for sp in sps],
-                    logit_biases=[sp.logit_bias for sp in sps],
-                )
-                for step in stream:
-                    loop.call_soon_threadsafe(outq.put_nowait, step)
-                loop.call_soon_threadsafe(outq.put_nowait, None)
-            except Exception as exc:
-                logger.exception("continuous producer error")
-                loop.call_soon_threadsafe(outq.put_nowait, exc)
-                loop.call_soon_threadsafe(outq.put_nowait, None)
-
-        loop.run_in_executor(None, producer)
-
-        interrupted = False
-        while True:
-            step = await outq.get()
-            if step is None:
-                break
-            if isinstance(step, Exception):
-                for e in active:
-                    _cont_fail(e, step)
-                active = []
-                break
-            for i, (delta, fin) in enumerate(step):
-                e = active[i]
-                if e.get("done"):
-                    continue
-                if delta:
-                    e["text"] += delta
-                    if e["kind"] == "stream":
-                        await _cont_emit_stream_delta(e, delta)
-                if fin in ("stop", "length"):
-                    e["done"] = True
-                    e["finish"] = fin
-            # Admission check at step boundary (reference :1657-1671).
-            if not interrupted and (not req_q.empty() or not stream_q.empty()):
-                interrupted = True
-                # Let the current producer finish its generator loop — we
-                # simply stop consuming further; mark remaining rows for
-                # re-admission with their accumulated text.
-                break
-
-        if interrupted:
-            # Drain the producer queue without blocking the event loop.
-            while True:
-                try:
-                    leftover = outq.get_nowait()
-                except asyncio.QueueEmpty:
-                    break
-                if leftover is None:
-                    break
-
-        for e in active:
-            if e.get("done"):
-                await _cont_finish(e, tok)
-            else:
-                # Not finished: re-admit, carrying generated text as context.
-                e["generated_ids"] = G.encode_cached(tok, e["text"]) if e["text"] else []
-                pending.append(e)
-
-        if rec.engine_instance:
-            _sync_engine_metrics(rec.engine_instance)
-
-
-def _cont_entry_from_queued(qr: QueuedRequest) -> dict:
-    return {
-        "kind": "completion",
-        "qr": qr,
-        "prompt": qr.prompt,
-        "sp": _sp_from_request(qr.request, qr.max_tokens),
-        "text": "",
-        "generated_ids": [],
-        "done": False,
-        "finish": None,
-        "first": True,
-    }
-
-
-def _cont_entry_from_stream(it: StreamQueuedChat) -> dict:
-    return {
-        "kind": "stream",
-        "item": it,
-        "prompt": it.prompt,
-        "sp": _sp_from_request(it.request, it.request.max_tokens or 128),
-        "text": "",
-        "generated_ids": [],
-        "done": False,
-        "finish": None,
-        "first": True,
-    }
-
-
-def _cont_fail(e: dict, exc: Exception) -> None:
-    if e["kind"] == "completion":
-        if not e["qr"].future.done():
-            e["qr"].future.set_result(exc)
-    else:
-        e["item"].queue.put_nowait(DONE_SENTINEL)
-
-
-async def _cont_emit_stream_delta(e: dict, delta: str) -> None:
-    it: StreamQueuedChat = e["item"]
-    if e["first"]:
-        role_chunk = ChatCompletionChunk(
-            model=it.request.model,
-            choices=[
-                ChatCompletionStreamChoice(
-                    index=0, delta=DeltaMessage(role="assistant")
-                )
-            ],
-        )
-        await it.queue.put(f"data: {role_chunk.model_dump_json()}\n\n")
-        e["first"] = False
-    chunk = ChatCompletionChunk(
-        model=it.request.model,
-        choices=[
-            ChatCompletionStreamChoice(
-                index=0, delta=DeltaMessage(content=delta)
-            )
-        ],
-    )
-    await it.queue.put(f"data: {chunk.model_dump_json()}\n\n")
-
-
-async def _cont_finish(e: dict, tok) -> None:
-    n_prompt = len(G.encode_cached(tok, e["prompt"]))
-    n_completion = len(tok.encode(e["text"])) if e["text"] else 0
-    if e["kind"] == "completion":
-        qr: QueuedRequest = e["qr"]
-        usage = UsageInfo(
-            prompt_tokens=n_prompt,
-            completion_tokens=n_completion,
-            total_tokens=n_prompt + n_completion,
-        )
-        if qr.is_chat:
-            resp = ChatCompletionResponse(
-                model=qr.request.model,
-                choices=[
-                    ChatCompletionChoice(
-                        index=0,
-                        message=ChatMessage(role="assistant", content=e["text"]),
-                        finish_reason=e["finish"],
+                    submit_stream(item)
+                m = engine.metrics
+                METRICS["decode_tokens_total"] = m["decode_tokens_total"]
+                METRICS["decode_time_total"] = m["decode_time_total"]
+                if m["decode_time_total"] > 0:
+                    METRICS["last_decode_tps"] = (
+                        m["decode_tokens_total"] / m["decode_time_total"]
                     )
-                ],
-                usage=usage,
-            )
-        else:
-            resp = CompletionResponse(
-                model=qr.request.model,
-                choices=[
-                    CompletionChoice(
-                        index=0, text=e["text"], finish_reason=e["finish"]
-                    )
-                ],
-                usage=usage,
-            )
-        if not qr.future.done():
-            qr.future.set_result(resp)
-    else:
-        it: StreamQueuedChat = e["item"]
-        fin_chunk = ChatCompletionChunk(
-            model=it.request.model,
-            choices=[
-                ChatCompletionStreamChoice(
-                    index=0, delta=DeltaMessage(), finish_reason=e["finish"]
-                )
-            ],
-        )
-        await it.queue.put(f"data: {fin_chunk.model_dump_json()}\n\n")
-        await it.queue.put(DONE_SENTINEL)
+    except asyncio.CancelledError:
+        engine.stop()
+        raise
+
 
 
 # -------------------------------------------------------------------- main

@@ -1,0 +1,111 @@
+"""Slot-engine tests: in-flight admission without recompute."""
+
+import threading
+import time
+
+import pytest
+
+from mlx_parallm_tpu.core import loader
+from mlx_parallm_tpu.core.engine import DecodeEngine, SamplingParams
+from mlx_parallm_tpu.core.slot_engine import SlotEngine, SlotRequest
+
+
+@pytest.fixture(scope="module")
+def slot_setup(tiny_model_dir):
+    model, tok = loader.load(tiny_model_dir)
+    engine = SlotEngine(
+        model, tok, num_slots=4, max_context_length=256, decode_steps_per_call=4
+    )
+    engine.start()
+    yield model, tok, engine
+    engine.stop()
+
+
+def _run_request(engine, ids, max_tokens, timeout=120.0):
+    done = threading.Event()
+    out = {"tokens": [], "finish": None}
+
+    def on_token(tid, finish):
+        if finish != "stop":
+            out["tokens"].append(tid)
+        if finish:
+            out["finish"] = finish
+            done.set()
+
+    engine.submit(
+        SlotRequest(
+            prompt_tokens=ids,
+            params=SamplingParams(temperature=0.0, max_tokens=max_tokens),
+            on_token=on_token,
+        )
+    )
+    assert done.wait(timeout), "request did not finish in time"
+    return out
+
+
+def test_single_request_matches_batch_engine(slot_setup):
+    model, tok, engine = slot_setup
+    ids = tok.encode("The quick brown fox")
+    out = _run_request(engine, ids, 6)
+    assert out["finish"] in ("stop", "length")
+
+    ref_engine = DecodeEngine(model, tok, disable_prefix_cache=True)
+    ref = []
+    fin = None
+    for step in ref_engine.decode_batch(
+        [ids], [SamplingParams(temperature=0.0, max_tokens=6)]
+    ):
+        if step.tokens[0] is not None and step.finished[0] != "stop":
+            ref.append(step.tokens[0])
+        if step.finished[0]:
+            fin = step.finished[0]
+    assert out["tokens"] == ref
+    assert out["finish"] == fin
+
+
+def test_concurrent_admission(slot_setup):
+    """Multiple requests admitted at different times; each matches its solo
+    greedy result (running KV untouched by admissions)."""
+    model, tok, engine = slot_setup
+    prompts = [
+        tok.encode("The quick brown fox jumps over the lazy dog"),
+        tok.encode("Hello world"),
+        tok.encode("What is 1 + 2?"),
+    ]
+    solos = [_run_request(engine, p, 6)["tokens"] for p in prompts]
+
+    results = [None] * 3
+    threads = []
+
+    def worker(i):
+        results[i] = _run_request(engine, prompts[i], 6)["tokens"]
+
+    for i in range(3):
+        th = threading.Thread(target=worker, args=(i,))
+        th.start()
+        threads.append(th)
+        time.sleep(0.05)  # staggered admission
+    for th in threads:
+        th.join(timeout=120)
+
+    assert results == solos
+
+
+def test_more_requests_than_slots(slot_setup):
+    """Queueing beyond slot capacity drains correctly."""
+    model, tok, engine = slot_setup
+    ids = tok.encode("counting")
+    results = [None] * 6
+    threads = []
+
+    def worker(i):
+        results[i] = _run_request(engine, ids, 4)["finish"]
+
+    for i in range(6):
+        th = threading.Thread(target=worker, args=(i,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join(timeout=180)
+    assert all(r in ("stop", "length") for r in results)
+    assert engine.metrics["admitted_total"] >= 6
