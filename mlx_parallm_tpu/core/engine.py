@@ -52,6 +52,9 @@ class SamplingParams:
     logit_bias: Optional[Dict[int, float]] = None
     seed: Optional[int] = None
     stop: Optional[List[str]] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
 
 
 @dataclasses.dataclass
@@ -157,6 +160,10 @@ class DecodeEngine:
             logit_bias,
             eos_arr,
             n_steps,
+            token_counts=None,
+            presence=None,
+            frequency=None,
+            repetition=None,
         ):
             """Run ``n_steps`` decode steps entirely on device (lax.scan).
 
@@ -167,20 +174,28 @@ class DecodeEngine:
             """
 
             def step(carry, _):
-                cache, tok, active, counts, key = carry
+                cache, tok, active, counts, key, tok_counts = carry
                 logits, cache2 = apply_fn(params, tok[:, None], cache)
                 logits = logits[:, 0]
                 # Un-advance inactive rows so finished sequences stop
                 # consuming cache capacity.
-                cache2 = KVCache(
-                    k=cache2.k,
-                    v=cache2.v,
+                cache2 = dataclasses.replace(
+                    cache2,
                     lengths=cache2.lengths - (1 - active.astype(jnp.int32)),
                 )
                 key, sub = jax.random.split(key)
                 nxt, lps = sampling.sample_tokens(
-                    logits, sub, temps, top_ps, logit_bias
+                    logits, sub, temps, top_ps, logit_bias,
+                    token_counts=tok_counts,
+                    presence=presence,
+                    frequency=frequency,
+                    repetition=repetition,
                 )
+                if tok_counts is not None:
+                    b_idx = jnp.arange(tok_counts.shape[0])
+                    tok_counts = tok_counts.at[b_idx, nxt].add(
+                        active.astype(jnp.int32)
+                    )
                 emitted = jnp.where(active, nxt, -1)
                 counts2 = counts + active.astype(jnp.int32)
                 if eos_arr.shape[0] > 0:
@@ -189,16 +204,16 @@ class DecodeEngine:
                     is_eos = jnp.zeros_like(active)
                 active2 = active & ~is_eos & (counts2 < max_toks)
                 tok2 = jnp.where(active2, nxt, tok)
-                return (cache2, tok2, active2, counts2, key), (emitted, lps)
+                return (cache2, tok2, active2, counts2, key, tok_counts), (emitted, lps)
 
             carry, (toks, lps) = jax.lax.scan(
                 step,
-                (cache, last_tokens, active, counts, key),
+                (cache, last_tokens, active, counts, key, token_counts),
                 None,
                 length=n_steps,
             )
-            cache, tok, active, counts, key = carry
-            return toks, lps, tok, active, counts, key, cache
+            cache, tok, active, counts, key, token_counts = carry
+            return toks, lps, tok, active, counts, key, cache, token_counts
 
         # Donating the cache lets XLA update the KV slab in place.
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
@@ -397,9 +412,37 @@ class DecodeEngine:
         tok_dev = first_tokens
         n_decoded_total = 0
 
+        use_penalties = any(
+            p.presence_penalty or p.frequency_penalty
+            or p.repetition_penalty != 1.0
+            for p in seq_params
+        )
+        if use_penalties:
+            vocab = self.model.args.vocab_size
+            tc = np.zeros((b_pad, vocab), dtype=np.int32)
+            for i in range(b):
+                if active[i] or True:
+                    tc[i, int(tok_host[i])] = 1
+            token_counts_dev = jnp.asarray(tc)
+            presence_dev = jnp.asarray(
+                [p.presence_penalty for p in seq_params] + [0.0] * (b_pad - b),
+                dtype=jnp.float32,
+            )
+            frequency_dev = jnp.asarray(
+                [p.frequency_penalty for p in seq_params] + [0.0] * (b_pad - b),
+                dtype=jnp.float32,
+            )
+            repetition_dev = jnp.asarray(
+                [p.repetition_penalty for p in seq_params] + [1.0] * (b_pad - b),
+                dtype=jnp.float32,
+            )
+        else:
+            token_counts_dev = None
+            presence_dev = frequency_dev = repetition_dev = None
+
         key_dev = key
 
-        def dispatch(cache, tok_dev, active_dev, counts_dev, key_dev):
+        def dispatch(cache, tok_dev, active_dev, counts_dev, key_dev, tc_dev):
             return self._decode_chunk(
                 self.model.params,
                 cache,
@@ -413,20 +456,31 @@ class DecodeEngine:
                 logit_bias,
                 eos_arr,
                 chunk,
+                tc_dev,
+                presence_dev,
+                frequency_dev,
+                repetition_dev,
             )
 
         pending = None
         if active.any():
-            pending = dispatch(cache, tok_dev, active_dev, counts_dev, key_dev)
+            pending = dispatch(
+                cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
+            )
             cache = pending[6]
 
         while pending is not None:
-            toks, lps, tok_dev, active_dev, counts_dev, key_dev, _cache = pending
+            (
+                toks, lps, tok_dev, active_dev, counts_dev, key_dev, _cache,
+                token_counts_dev,
+            ) = pending
             # Speculatively dispatch the next chunk from the current chunk's
             # device outputs BEFORE draining it to the host — the device never
             # idles on host processing. (Costs up to one wasted chunk at the
             # very end.)
-            nxt = dispatch(cache, tok_dev, active_dev, counts_dev, key_dev)
+            nxt = dispatch(
+                cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
+            )
             cache = nxt[6]
 
             toks_host = np.asarray(jax.device_get(toks))  # (S, B)

@@ -221,44 +221,84 @@ def batch_stream_generate_text(
     temps: Optional[List[float]] = None,
     top_ps: Optional[List[float]] = None,
     logit_biases: Optional[List[Optional[dict]]] = None,
+    sampling_params: Optional[List[SamplingParams]] = None,
 ) -> Iterator[List[Tuple[str, Optional[str]]]]:
     """Batched streaming: yields per-step ``[(text_delta, finish_reason)]``
     (parity: reference utils.py:983-1081). ``max_tokens`` may be an int or a
-    per-sequence list."""
+    per-sequence list. ``sampling_params`` overrides the per-field lists and
+    additionally enables stop sequences + repetition penalties."""
     b = len(prompts_tokens)
     if isinstance(max_tokens, int):
         max_tokens = [max_tokens] * b
-    sp = [
-        SamplingParams(
-            temperature=(temps[i] if temps else 0.0),
-            top_p=(top_ps[i] if top_ps else 1.0),
-            max_tokens=max_tokens[i],
-            logit_bias=(logit_biases[i] if logit_biases else None),
-        )
-        for i in range(b)
-    ]
+    if sampling_params is not None:
+        sp = sampling_params
+    else:
+        sp = [
+            SamplingParams(
+                temperature=(temps[i] if temps else 0.0),
+                top_p=(top_ps[i] if top_ps else 1.0),
+                max_tokens=max_tokens[i],
+                logit_bias=(logit_biases[i] if logit_biases else None),
+            )
+            for i in range(b)
+        ]
     engine = get_engine(model, tokenizer)
     detoks = [tokenizer.make_detokenizer() for _ in range(b)]
     done = [False] * b
+    # Stop-sequence state: accumulated text + emitted offset; withhold up to
+    # max(stop-length)-1 chars so a stop split across deltas is caught.
+    acc = [""] * b
+    emitted = [0] * b
+    holdback = [
+        (max((len(s) for s in (sp[i].stop or [])), default=1) - 1) for i in range(b)
+    ]
+
+    def take_delta(i: int, new_text: str, finishing: Optional[str]):
+        """Returns (delta, finish) honoring stop sequences."""
+        acc[i] += new_text
+        stops = sp[i].stop or []
+        cut = -1
+        for s in stops:
+            if not s:
+                continue
+            idx = acc[i].find(s)
+            if idx != -1:
+                cut = idx if cut == -1 else min(cut, idx)
+        if cut != -1:
+            delta = acc[i][emitted[i] : cut]
+            emitted[i] = cut
+            return delta, "stop"
+        if finishing:
+            delta = acc[i][emitted[i] :]
+            emitted[i] = len(acc[i])
+            return delta, finishing
+        safe = len(acc[i]) - holdback[i]
+        if safe > emitted[i]:
+            delta = acc[i][emitted[i] : safe]
+            emitted[i] = safe
+            return delta, None
+        return "", None
+
     for step in engine.decode_batch(prompts_tokens, sp):
         out: List[Tuple[str, Optional[str]]] = []
         for i in range(b):
             if done[i] or step.tokens[i] is None:
                 out.append(("", "done" if done[i] else None))
                 continue
-            delta = ""
+            raw = ""
             if step.finished[i] == "stop":
                 detoks[i].finalize()
-                delta = detoks[i].last_segment
+                raw = detoks[i].last_segment
             else:
                 detoks[i].add_token(step.tokens[i])
-                delta = detoks[i].last_segment
+                raw = detoks[i].last_segment
                 if step.finished[i] == "length":
                     detoks[i].finalize()
-                    delta += detoks[i].last_segment
-            if step.finished[i]:
+                    raw += detoks[i].last_segment
+            delta, fin = take_delta(i, raw, step.finished[i])
+            if fin:
                 done[i] = True
-            out.append((delta, step.finished[i]))
+            out.append((delta, fin))
         yield out
 
 
@@ -271,6 +311,7 @@ def _sync_batch_generate_text(
     top_ps: Optional[List[float]] = None,
     logit_biases: Optional[List[Optional[dict]]] = None,
     max_context_length: Optional[int] = None,
+    sampling_params: Optional[List[SamplingParams]] = None,
 ) -> List[Tuple[str, int, int]]:
     b = len(prompts)
     if isinstance(max_tokens, int):
@@ -287,29 +328,33 @@ def _sync_batch_generate_text(
             ids = ids[-limit:]
         token_rows.append(ids)
 
-    sp = [
-        SamplingParams(
-            temperature=(temps[i] if temps else 0.0),
-            top_p=(top_ps[i] if top_ps else 1.0),
-            max_tokens=max_tokens[i],
-            logit_bias=(logit_biases[i] if logit_biases else None),
-        )
-        for i in range(b)
-    ]
+    if sampling_params is not None:
+        sp = sampling_params
+    else:
+        sp = [
+            SamplingParams(
+                temperature=(temps[i] if temps else 0.0),
+                top_p=(top_ps[i] if top_ps else 1.0),
+                max_tokens=max_tokens[i],
+                logit_bias=(logit_biases[i] if logit_biases else None),
+            )
+            for i in range(b)
+        ]
     engine = get_engine(model, tokenizer)
     rows: List[List[int]] = [[] for _ in range(b)]
     for step in engine.decode_batch(token_rows, sp):
         for i, t in enumerate(step.tokens):
             if t is not None and step.finished[i] != "stop":
                 rows[i].append(t)
-    return [
-        (
-            tokenizer.decode(rows[i], skip_special_tokens=True),
-            len(token_rows[i]),
-            len(rows[i]),
-        )
-        for i in range(b)
-    ]
+    out = []
+    for i in range(b):
+        text = tokenizer.decode(rows[i], skip_special_tokens=True)
+        # Stop-sequence truncation (host-side).
+        for s in sp[i].stop or []:
+            if s and s in text:
+                text = text[: text.find(s)]
+        out.append((text, len(token_rows[i]), len(rows[i])))
+    return out
 
 
 async def batch_generate_text(
@@ -321,6 +366,7 @@ async def batch_generate_text(
     top_ps=None,
     logit_biases=None,
     max_context_length: Optional[int] = None,
+    sampling_params: Optional[List[SamplingParams]] = None,
 ) -> List[Tuple[str, int, int]]:
     """Async batched generation for the server worker (parity: reference
     utils.py:1087-1346). Runs the synchronous decode in the default executor
@@ -337,5 +383,6 @@ async def batch_generate_text(
             top_ps,
             logit_biases,
             max_context_length,
+            sampling_params,
         ),
     )

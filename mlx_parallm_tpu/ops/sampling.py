@@ -18,22 +18,57 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def apply_penalties(
+    logits: jnp.ndarray,
+    token_counts: jnp.ndarray,
+    presence: jnp.ndarray,
+    frequency: jnp.ndarray,
+    repetition: jnp.ndarray,
+) -> jnp.ndarray:
+    """OpenAI presence/frequency penalties + HF-style repetition penalty.
+
+    The reference ships ``apply_repetition_penalty`` but raises
+    NotImplementedError when requested (reference utils.py:290-312,366-367);
+    here all three penalties are supported, fully vectorized and jit-safe.
+
+    logits: (B, V); token_counts: (B, V) int — counts of generated tokens;
+    presence/frequency/repetition: (B,).
+    """
+    logits = logits.astype(jnp.float32)
+    seen = (token_counts > 0).astype(jnp.float32)
+    logits = logits - presence[:, None] * seen
+    logits = logits - frequency[:, None] * token_counts.astype(jnp.float32)
+    rep = repetition[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen > 0, penalized, logits)
+    return logits
+
+
 def sample_tokens(
     logits: jnp.ndarray,
     key: jax.Array,
     temps: jnp.ndarray,
     top_ps: jnp.ndarray,
     logit_bias: Optional[jnp.ndarray] = None,
+    token_counts: Optional[jnp.ndarray] = None,
+    presence: Optional[jnp.ndarray] = None,
+    frequency: Optional[jnp.ndarray] = None,
+    repetition: Optional[jnp.ndarray] = None,
 ):
     """Sample one token per row.
 
     logits: (B, V) float; temps/top_ps: (B,); logit_bias: optional (B, V)
-    additive bias. Rows with ``temps == 0`` take argmax. Returns
+    additive bias; token_counts + presence/frequency/repetition enable
+    repetition penalties. Rows with ``temps == 0`` take argmax. Returns
     (tokens (B,), logprobs (B,)) where logprobs are log-softmax values of the
     chosen token under the (biased, untempered) distribution.
     """
     if logit_bias is not None:
         logits = logits + logit_bias
+    if token_counts is not None:
+        logits = apply_penalties(
+            logits, token_counts, presence, frequency, repetition
+        )
     logits = logits.astype(jnp.float32)
     b, v = logits.shape
 

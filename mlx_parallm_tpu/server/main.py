@@ -193,12 +193,18 @@ def _sp_from_request(req, max_tokens: int, seed_offset: int = 0) -> SamplingPara
     seed = getattr(req, "seed", None)
     if seed is not None:
         seed = seed + seed_offset
+    stop = getattr(req, "stop", None)
+    if isinstance(stop, str):
+        stop = [stop]
     return SamplingParams(
         temperature=req.temperature or 0.0,
         top_p=req.top_p if req.top_p is not None else 1.0,
         max_tokens=max_tokens,
         logit_bias=logit_bias,
         seed=seed,
+        stop=stop,
+        presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,
+        frequency_penalty=getattr(req, "frequency_penalty", 0.0) or 0.0,
     )
 
 
@@ -453,9 +459,7 @@ async def _stream_completion(
                     tok,
                     [prompt_tokens],
                     sp.max_tokens,
-                    temps=[sp.temperature],
-                    top_ps=[sp.top_p],
-                    logit_biases=[sp.logit_bias],
+                    sampling_params=[sp],
                 )
                 for step in stream:
                     loop.call_soon_threadsafe(q.put_nowait, step[0])
@@ -747,10 +751,8 @@ async def _process_batch(app: web.Application, batch: List[QueuedRequest]) -> No
         tok,
         prompts,
         [sp.max_tokens for sp in sps],
-        temps=[sp.temperature for sp in sps],
-        top_ps=[sp.top_p for sp in sps],
-        logit_biases=[sp.logit_bias for sp in sps],
         max_context_length=args.max_context_length,
+        sampling_params=sps,
     )
     if rec.engine_instance:
         _sync_engine_metrics(rec.engine_instance)
@@ -832,9 +834,7 @@ async def streaming_batch_worker(app: web.Application) -> None:
                     tok,
                     prompt_rows,
                     [sp.max_tokens for sp in sps],
-                    temps=[sp.temperature for sp in sps],
-                    top_ps=[sp.top_p for sp in sps],
-                    logit_biases=[sp.logit_bias for sp in sps],
+                    sampling_params=sps,
                 )
                 for step in stream:
                     loop.call_soon_threadsafe(outq.put_nowait, step)
