@@ -248,6 +248,8 @@ def create_app(args: Optional[ServerArgs] = None) -> web.Application:
 
     app.router.add_get("/health", health_check)
     app.router.add_get("/debug/metrics", debug_metrics)
+    app.router.add_post("/debug/profile/start", profile_start)
+    app.router.add_post("/debug/profile/stop", profile_stop)
     app.router.add_get("/v1/models", list_models_endpoint)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
@@ -344,6 +346,36 @@ async def debug_metrics(request: web.Request) -> web.Response:
     m["avg_prompt_tps"] = avg_prompt
     m["avg_decode_tps"] = avg_decode
     return web.json_response(m)
+
+
+async def profile_start(request: web.Request) -> web.Response:
+    """Start a jax.profiler trace (SURVEY §5: the reference has no tracing;
+    here device profiling is built into the server). Body: {"dir": path}."""
+    import jax
+
+    try:
+        body = await request.json()
+    except Exception:
+        body = {}
+    trace_dir = body.get("dir", "/tmp/mlx_parallm_tpu_trace")
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:
+        return _json_error(400, f"profiler start failed: {e}")
+    request.app["profile_dir"] = trace_dir
+    return web.json_response({"status": "profiling", "dir": trace_dir})
+
+
+async def profile_stop(request: web.Request) -> web.Response:
+    import jax
+
+    try:
+        jax.profiler.stop_trace()
+    except Exception as e:
+        return _json_error(400, f"profiler stop failed: {e}")
+    return web.json_response(
+        {"status": "stopped", "dir": request.app.get("profile_dir")}
+    )
 
 
 async def list_models_endpoint(request: web.Request) -> web.Response:
