@@ -315,3 +315,39 @@ class GRPOTrainer:
     @property
     def adapter_params(self) -> Dict[str, jnp.ndarray]:
         return self._adapter
+
+    def restore(self, step_dir: str) -> int:
+        """Resume from a ``step_N`` checkpoint dir: reload fp32 adapter
+        masters from the (already hot-swapped) model tree and the persisted
+        Adam state if present. Returns the restored step number."""
+        import os
+
+        from . import checkpoint as ckpt
+        from .param_utils import split_adapter_params as _split
+
+        adapter, _ = _split(self.model.params)
+        self._adapter = {
+            k: v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+            for k, v in adapter.items()
+        }
+        opt_state = ckpt.load_optimizer_state(step_dir)
+        if opt_state is not None:
+            try:
+                self._opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, opt_state
+                )
+            except Exception:
+                logger.warning(
+                    "Optimizer state in %s incompatible; reinitializing", step_dir
+                )
+                self._opt_state = self.tx.init(self._adapter)
+        else:
+            self._opt_state = self.tx.init(self._adapter)
+        if self._use_ref:
+            self._ref_adapter = jax.tree_util.tree_map(lambda x: x, self._adapter)
+        try:
+            step = int(os.path.basename(step_dir.rstrip("/")).split("_")[1])
+        except (IndexError, ValueError):
+            step = 0
+        self.step_count = step
+        return step

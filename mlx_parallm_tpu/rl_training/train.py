@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora-rank", type=int, default=16)
     p.add_argument("--lora-layers", type=int, default=8)
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from the latest step_N in --checkpoint-dir (adapter + optimizer state)",
+    )
     p.add_argument("--max-batch-size", type=int, default=8)
     return p
 
@@ -150,6 +155,14 @@ def main(argv=None) -> int:
     model = record.model_instance
     tokenizer = record.tokenizer_instance
 
+    # Resume: point lora at the latest checkpoint before init logic runs.
+    resume_dir = None
+    if ns.resume:
+        resume_dir = ckpt.latest_step_dir(tcfg.checkpoint_dir)
+        if resume_dir:
+            apply_lora_update_for_record(record, resume_dir)
+            logger.info("Resuming from %s", resume_dir)
+
     # LoRA: explicit adapter already applied at load; else auto-init.
     if not has_lora_params(model.params):
         adapter_dir = init_lora_if_needed(
@@ -176,6 +189,9 @@ def main(argv=None) -> int:
         serving_record=record,
         checkpoint_dir=tcfg.checkpoint_dir,
     )
+    start_step = 0
+    if resume_dir:
+        start_step = trainer.restore(resume_dir)
 
     server_url = f"http://{ns.host}:{ns.port}"
     if tcfg.atropos_url:
@@ -192,7 +208,7 @@ def main(argv=None) -> int:
                 "checkpoint_dir": tcfg.checkpoint_dir,
             }
         )
-        for step_i in range(1, tcfg.total_steps + 1):
+        for step_i in range(start_step + 1, tcfg.total_steps + 1):
             batch = await provider.fetch_batch()
             metrics = trainer.step(batch)
             logger.info("step %d: %s", step_i, metrics)
