@@ -84,20 +84,35 @@ class KVCache:
 
         Does NOT advance ``lengths`` — the model apply advances once per
         forward via ``advance`` so every layer writes at the same offsets.
-        Returns the full (B, S, H, D) slab views for attention.
+
+        Decode steps (T == 1) use a broadcast masked write — a contiguous
+        elementwise pass XLA fuses well — instead of a vmapped
+        ``dynamic_update_slice`` (which lowers to a slow scatter on TPU).
+        Prefill (T > 1) keeps the per-row dynamic slice path.
         """
+        t = k_new.shape[1]
+        if t == 1:
+            sel = (
+                jnp.arange(self.capacity)[None, :] == self.lengths[:, None]
+            )[..., None, None]  # (B, S, 1, 1)
+            k_l = jnp.where(sel, k_new.astype(self.k.dtype), self.k[layer])
+            v_l = jnp.where(sel, v_new.astype(self.v.dtype), self.v[layer])
+        else:
 
-        def write_row(buf_row, new_row, off):
-            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
+            def write_row(buf_row, new_row, off):
+                return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
 
-        k_l = jax.vmap(write_row)(self.k[layer], k_new.astype(self.k.dtype), self.lengths)
-        v_l = jax.vmap(write_row)(self.v[layer], v_new.astype(self.v.dtype), self.lengths)
-        new_cache = KVCache(
+            k_l = jax.vmap(write_row)(
+                self.k[layer], k_new.astype(self.k.dtype), self.lengths
+            )
+            v_l = jax.vmap(write_row)(
+                self.v[layer], v_new.astype(self.v.dtype), self.lengths
+            )
+        return KVCache(
             k=self.k.at[layer].set(k_l),
             v=self.v.at[layer].set(v_l),
             lengths=self.lengths,
         )
-        return new_cache
 
     def advance(self, step_lengths: jax.Array) -> "KVCache":
         """Advance per-row valid lengths by ``step_lengths`` (B,) tokens."""
@@ -175,17 +190,29 @@ class QuantizedKVCache:
     ) -> "QuantizedKVCache":
         kq, ks = self._quantize(k_new)
         vq, vs = self._quantize(v_new)
+        t = k_new.shape[1]
+        if t == 1:
+            # Broadcast masked write (see KVCache.update_layer).
+            sel2 = (
+                jnp.arange(self.capacity)[None, :] == self.lengths[:, None]
+            )  # (B, S)
+            sel4 = sel2[..., None, None]
+            k_l = jnp.where(sel4, kq, self.k[layer])
+            v_l = jnp.where(sel4, vq, self.v[layer])
+            ks_l = jnp.where(sel2[..., None], ks, self.k_scale[layer])
+            vs_l = jnp.where(sel2[..., None], vs, self.v_scale[layer])
+        else:
 
-        def write_row(buf_row, new_row, off):
-            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
+            def write_row(buf_row, new_row, off):
+                return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0, 0))
 
-        def write_row_s(buf_row, new_row, off):
-            return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0))
+            def write_row_s(buf_row, new_row, off):
+                return jax.lax.dynamic_update_slice(buf_row, new_row, (off, 0))
 
-        k_l = jax.vmap(write_row)(self.k[layer], kq, self.lengths)
-        v_l = jax.vmap(write_row)(self.v[layer], vq, self.lengths)
-        ks_l = jax.vmap(write_row_s)(self.k_scale[layer], ks, self.lengths)
-        vs_l = jax.vmap(write_row_s)(self.v_scale[layer], vs, self.lengths)
+            k_l = jax.vmap(write_row)(self.k[layer], kq, self.lengths)
+            v_l = jax.vmap(write_row)(self.v[layer], vq, self.lengths)
+            ks_l = jax.vmap(write_row_s)(self.k_scale[layer], ks, self.lengths)
+            vs_l = jax.vmap(write_row_s)(self.v_scale[layer], vs, self.lengths)
         return QuantizedKVCache(
             k=self.k.at[layer].set(k_l),
             v=self.v.at[layer].set(v_l),

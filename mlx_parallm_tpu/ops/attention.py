@@ -43,13 +43,13 @@ def sdpa(
     assert hq % hkv == 0
     rep = hq // hkv
 
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-
-    # (B, T, Hkv, rep, D) x (B, S, Hkv, D) -> (B, Hkv, rep, T, S)
-    qg = qf.reshape(b, t, hkv, rep, d)
-    scores = jnp.einsum("bthrd,bshd->bhrts", qg, kf)
+    # Keep K/V in their storage dtype (bf16) — the MXU accumulates in fp32
+    # via preferred_element_type, so casting the whole slab to fp32 (which
+    # doubles HBM traffic and materializes fp32 copies) is unnecessary.
+    qg = (q * scale).reshape(b, t, hkv, rep, d)
+    scores = jnp.einsum(
+        "bthrd,bshd->bhrts", qg, k, preferred_element_type=jnp.float32
+    )
     if logit_softcap:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
 
@@ -61,5 +61,12 @@ def sdpa(
     scores = jnp.where(valid[:, None, None, :, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhrts,bshd->bthrd", probs, vf)
+    # Probabilities in bf16 for the PV matmul (standard flash-attention
+    # practice) — avoids upcasting the V slab to fp32.
+    out = jnp.einsum(
+        "bhrts,bshd->bthrd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, t, hq, d).astype(q.dtype)
