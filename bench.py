@@ -80,14 +80,14 @@ def build_random_quantized_llama(
         layer_list.append(
             {
                 "self_attn": {
-                    "q_proj": ql(lk[0], heads * head_dim, hidden),
-                    "k_proj": ql(lk[1], kv_heads * head_dim, hidden),
-                    "v_proj": ql(lk[2], kv_heads * head_dim, hidden),
+                    # Fused qkv (one kernel launch), as the loader builds.
+                    "qkv_proj": ql(
+                        lk[0], (heads + 2 * kv_heads) * head_dim, hidden
+                    ),
                     "o_proj": ql(lk[3], hidden, heads * head_dim),
                 },
                 "mlp": {
-                    "gate_proj": ql(lk[4], ffn, hidden),
-                    "up_proj": ql(lk[5], ffn, hidden),
+                    "gate_up_proj": ql(lk[4], 2 * ffn, hidden),
                     "down_proj": ql(lk[6], hidden, ffn),
                 },
                 "input_layernorm": {"weight": jnp.ones(hidden, jnp.bfloat16)},

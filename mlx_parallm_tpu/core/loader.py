@@ -183,6 +183,10 @@ def load_model(
                     flat[base + ".q8"] = quant.unpack(arr, bits)
 
     nested = P.unflatten(flat)
+    if qz and mirror_int8 and jax.default_backend() == "tpu":
+        _fuse_layer_projections(
+            nested, int(qz.get("group_size", 64)), int(qz.get("bits", 4))
+        )
     model = Model(args=args, params=nested, module=module, config=config, model_path=model_path)
     logger.info(
         "Loaded %s (%s): %d layers, quantization=%s",
@@ -192,6 +196,41 @@ def load_model(
         qz,
     )
     return model
+
+
+def _fuse_layer_projections(nested: Dict[str, Any], gs: int, bits: int) -> None:
+    """Fuse q/k/v and gate/up fused-kernel weights per layer (one Pallas
+    launch instead of three/two). The fused dict carries wk/scales/biases;
+    the original per-projection dicts keep their packed weights (checkpoint
+    fidelity, dequant fallback) and any LoRA leaves (applied post-hoc by the
+    model's fused path)."""
+    from ..ops import qmm_pallas
+
+    layers = nested.get("model", {}).get("layers")
+    if not layers:
+        return
+    probe_dtype = jnp.bfloat16
+
+    def fuse(parent: Dict[str, Any], names, fused_name: str):
+        parts = [parent.get(n) for n in names]
+        if any(p is None or "wk" not in p for p in parts):
+            return
+        wk = jnp.concatenate([p["wk"] for p in parts], axis=1)  # (Kw, N_total)
+        scales = jnp.concatenate([p["scales"] for p in parts], axis=0)
+        biases = jnp.concatenate([p["biases"] for p in parts], axis=0)
+        k = wk.shape[0] * (32 // bits)
+        probe = jnp.zeros((1, k), probe_dtype)
+        if not qmm_pallas.supported(probe, wk, scales, gs, bits):
+            return
+        parent[fused_name] = {"wk": wk, "scales": scales, "biases": biases}
+        for p in parts:
+            p.pop("wk", None)
+
+    for layer in layers:
+        attn = layer.get("self_attn", {})
+        fuse(attn, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        mlp = layer.get("mlp", {})
+        fuse(mlp, ("gate_proj", "up_proj"), "gate_up_proj")
 
 
 def load(

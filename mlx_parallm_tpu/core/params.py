@@ -57,6 +57,18 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
     return y
 
 
+def lora_delta(p: Dict[str, Any], x: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """The LoRA contribution of a linear's adapter leaves, or None.
+
+    Used by fused-projection paths: the base matmul runs on a fused weight
+    while adapters stay attached to the original per-projection dicts."""
+    if "lora_a" not in p:
+        return None
+    scale = p.get("lora_scale", jnp.float32(1.0))
+    delta = (x @ p["lora_a"].T.astype(x.dtype)) @ p["lora_b"].T.astype(x.dtype)
+    return delta * scale.astype(x.dtype)
+
+
 def embedding(p: Dict[str, Any], ids: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndarray:
     """Token embedding lookup; supports MLX-style quantized embeddings."""
     if is_quantized_layer(p):

@@ -68,9 +68,28 @@ def _attention_block(args: ModelArgs, p, x, cache: Optional[KVCache], layer: int
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.resolved_head_dim
     qcfg = args.qcfg
 
-    q = P.linear(p["q_proj"], x, qcfg).reshape(b, t, h, d)
-    k = P.linear(p["k_proj"], x, qcfg).reshape(b, t, hkv, d)
-    v = P.linear(p["v_proj"], x, qcfg).reshape(b, t, hkv, d)
+    if "qkv_proj" in p:
+        # Load-time fused projection (one kernel launch instead of three);
+        # LoRA adapters stay on the per-projection dicts and add post-hoc.
+        qkv = P.linear(p["qkv_proj"], x, qcfg)
+        q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
+        for name, part in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
+            if name in p:
+                delta = P.lora_delta(p[name], x)
+                if delta is not None:
+                    if name == "q_proj":
+                        q = q + delta
+                    elif name == "k_proj":
+                        k = k + delta
+                    else:
+                        v = v + delta
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, hkv, d)
+        v = v.reshape(b, t, hkv, d)
+    else:
+        q = P.linear(p["q_proj"], x, qcfg).reshape(b, t, h, d)
+        k = P.linear(p["k_proj"], x, qcfg).reshape(b, t, hkv, d)
+        v = P.linear(p["v_proj"], x, qcfg).reshape(b, t, hkv, d)
 
     q = rope.apply_rope(q, positions, base=args.rope_theta, rope_scaling=args.rope_scaling)
     k = rope.apply_rope(k, positions, base=args.rope_theta, rope_scaling=args.rope_scaling)
@@ -95,8 +114,20 @@ def _attention_block(args: ModelArgs, p, x, cache: Optional[KVCache], layer: int
 
 def _mlp_block(args: ModelArgs, p, x):
     qcfg = args.qcfg
-    gate = P.linear(p["gate_proj"], x, qcfg)
-    up = P.linear(p["up_proj"], x, qcfg)
+    if "gate_up_proj" in p:
+        gu = P.linear(p["gate_up_proj"], x, qcfg)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        for name in ("gate_proj", "up_proj"):
+            if name in p:
+                delta = P.lora_delta(p[name], x)
+                if delta is not None:
+                    if name == "gate_proj":
+                        gate = gate + delta
+                    else:
+                        up = up + delta
+    else:
+        gate = P.linear(p["gate_proj"], x, qcfg)
+        up = P.linear(p["up_proj"], x, qcfg)
     return P.linear(p["down_proj"], jax.nn.silu(gate) * up, qcfg)
 
 
