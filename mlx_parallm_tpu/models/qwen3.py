@@ -52,9 +52,27 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.head_dim
     qcfg = args.qcfg
 
-    q = P.linear(p["q_proj"], x, qcfg).reshape(b, t, h, d)
-    k = P.linear(p["k_proj"], x, qcfg).reshape(b, t, hkv, d)
-    v = P.linear(p["v_proj"], x, qcfg).reshape(b, t, hkv, d)
+    if "qkv_proj" in p:
+        # Load-time fused projection (see llama.py); LoRA deltas post-split.
+        qkv = P.linear(p["qkv_proj"], x, qcfg)
+        q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
+        for name in ("q_proj", "k_proj", "v_proj"):
+            if name in p:
+                delta = P.lora_delta(p[name], x)
+                if delta is not None:
+                    if name == "q_proj":
+                        q = q + delta
+                    elif name == "k_proj":
+                        k = k + delta
+                    else:
+                        v = v + delta
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, hkv, d)
+        v = v.reshape(b, t, hkv, d)
+    else:
+        q = P.linear(p["q_proj"], x, qcfg).reshape(b, t, h, d)
+        k = P.linear(p["k_proj"], x, qcfg).reshape(b, t, hkv, d)
+        v = P.linear(p["v_proj"], x, qcfg).reshape(b, t, hkv, d)
 
     # Per-head RMSNorm (the Qwen3 signature feature).
     q = P.rms_norm(p["q_norm"]["weight"], q, args.rms_norm_eps)
@@ -100,9 +118,14 @@ def apply(
         h = P.rms_norm(
             layer_p["post_attention_layernorm"]["weight"], x, args.rms_norm_eps
         )
-        gate = P.linear(layer_p["mlp"]["gate_proj"], h, qcfg)
-        up = P.linear(layer_p["mlp"]["up_proj"], h, qcfg)
-        x = x + P.linear(layer_p["mlp"]["down_proj"], jax.nn.silu(gate) * up, qcfg)
+        mlp_p = layer_p["mlp"]
+        if "gate_up_proj" in mlp_p:
+            gu = P.linear(mlp_p["gate_up_proj"], h, qcfg)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = P.linear(mlp_p["gate_proj"], h, qcfg)
+            up = P.linear(mlp_p["up_proj"], h, qcfg)
+        x = x + P.linear(mlp_p["down_proj"], jax.nn.silu(gate) * up, qcfg)
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)
     if "lm_head" in params:
