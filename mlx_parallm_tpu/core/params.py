@@ -54,6 +54,10 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
         scale = p.get("lora_scale", jnp.float32(1.0))
         delta = (x @ p["lora_a"].T.astype(x.dtype)) @ p["lora_b"].T.astype(x.dtype)
         y = y + delta * scale.astype(y.dtype)
+    if "dora_scale" in p:
+        # DoRA: per-output-channel magnitude rescale m / ||W0 + scale·BA||,
+        # precomputed at adapter load (see rl_training/weight_updater.py).
+        y = y * p["dora_scale"].astype(y.dtype)
     return y
 
 

@@ -80,6 +80,7 @@ def _normalize_key(key: str) -> str:
         if key.startswith(pre):
             key = key[len(pre) :]
     key = key.replace(".lora_A.weight", ".lora_a").replace(".lora_B.weight", ".lora_b")
+    key = key.replace(".lora_magnitude_vector", ".magnitude")
     return key
 
 
@@ -116,10 +117,55 @@ def apply_lora_update(model, adapter_path: str) -> int:
         for lin in touched_linears:
             updated[f"{lin}.lora_scale"] = jnp.float32(scale)
 
+    # DoRA: adapters carrying per-channel magnitudes ("m" / "magnitude")
+    # rescale the combined weight's columns. Precompute the effective
+    # per-output scale m / ||W0 + lora_scale·B@A||_row once per swap (the
+    # quantized base is dequantized transiently, per adapted linear only).
+    dora_mags = {
+        k: v for k, v in flat_new.items()
+        if k.endswith((".m", ".magnitude"))
+    }
+    qz = (model.config or {}).get("quantization") or {}
+    gs_bits = (int(qz.get("group_size", 64)), int(qz.get("bits", 4)))
+    for mag_key, mag in dora_mags.items():
+        lin = mag_key.rsplit(".", 1)[0]
+        ds = _compute_dora_scale(updated, lin, np.asarray(mag, np.float32), gs_bits)
+        if ds is not None:
+            updated[f"{lin}.dora_scale"] = jnp.asarray(ds, dtype=jnp.bfloat16)
+            n += 1
+
     if n:
         model.swap_params(P.unflatten(updated))
         logger.info("Applied adapter update from %s (%d tensors)", adapter_path, n)
     return n
+
+
+def _compute_dora_scale(
+    flat: Dict[str, Any], lin: str, mag: np.ndarray, gs_bits=(64, 4)
+):
+    """m / row-norm(W0 + lora_scale·B@A) for a (possibly quantized) linear."""
+    from ..ops import quant
+
+    wkey = f"{lin}.weight"
+    if wkey not in flat:
+        return None
+    w = flat[wkey]
+    if f"{lin}.scales" in flat:
+        w = quant.dequantize(
+            jnp.asarray(w),
+            jnp.asarray(flat[f"{lin}.scales"]),
+            jnp.asarray(flat[f"{lin}.biases"]),
+            gs_bits[0],
+            gs_bits[1],
+        )
+    w = np.asarray(w, np.float32)
+    if f"{lin}.lora_a" in flat and f"{lin}.lora_b" in flat:
+        a = np.asarray(flat[f"{lin}.lora_a"], np.float32)
+        b = np.asarray(flat[f"{lin}.lora_b"], np.float32)
+        s = float(np.asarray(flat.get(f"{lin}.lora_scale", 1.0), np.float32))
+        w = w + s * (b @ a)
+    norms = np.linalg.norm(w, axis=1)
+    return mag.reshape(-1) / np.maximum(norms, 1e-8)
 
 
 def apply_lora_update_for_record(record, adapter_path: str) -> int:
