@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 import time
@@ -42,11 +43,13 @@ logger = logging.getLogger(__name__)
 class SlotRequest:
     """A request admitted to the slot engine. ``on_token(token, finish)`` is
     called from the driver thread for every generated token; ``finish`` is
-    'stop' | 'length' on the final call."""
+    'stop' | 'length' on the final call. Returning ``False`` from the
+    callback cancels the request (frees the slot) — used for host-side stop
+    sequences and client disconnects."""
 
     prompt_tokens: List[int]
     params: SamplingParams
-    on_token: Callable[[int, Optional[str]], None]
+    on_token: Callable[[int, Optional[str]], Optional[bool]]
     request_id: int = 0
 
 
@@ -107,8 +110,17 @@ class SlotEngine:
         self._max_toks = jnp.ones((b,), dtype=jnp.int32)
         self._temps = jnp.zeros((b,), dtype=jnp.float32)
         self._top_ps = jnp.ones((b,), dtype=jnp.float32)
+        self._presence = jnp.zeros((b,), dtype=jnp.float32)
+        self._frequency = jnp.zeros((b,), dtype=jnp.float32)
+        self._repetition = jnp.ones((b,), dtype=jnp.float32)
         self._last_tokens = jnp.zeros((b,), dtype=jnp.int32)
-        self._key = jax.random.PRNGKey(time.time_ns() % (2**31))
+        # Per-slot PRNG streams (per-request seeds stay deterministic no
+        # matter what else shares the batch).
+        self._keys = jnp.tile(
+            jax.random.PRNGKey(time.time_ns() % (2**31))[None, :], (b, 1)
+        )
+        vocab = self.model.args.vocab_size
+        self._token_counts = jnp.zeros((b, vocab), dtype=jnp.int32)
         eos = sorted(getattr(self.tokenizer, "eos_token_ids", set()) or set())
         self._eos_arr = jnp.asarray(eos, dtype=jnp.int32)
 
@@ -143,18 +155,31 @@ class SlotEngine:
 
         def decode_chunk(
             params, cache, last_tokens, active, counts, max_toks,
-            temps, top_ps, key, eos_arr, n_steps,
+            temps, top_ps, keys, eos_arr, token_counts,
+            presence, frequency, repetition, n_steps,
         ):
             def step(carry, _):
-                cache, tok, active, counts, key = carry
+                cache, tok, active, counts, keys, tok_counts = carry
                 logits, cache2 = apply_fn(params, tok[:, None], cache)
                 logits = logits[:, 0]
                 cache2 = dataclasses.replace(
                     cache2,
                     lengths=cache2.lengths - (1 - active.astype(jnp.int32)),
                 )
-                key, sub = jax.random.split(key)
-                nxt, lps = sampling.sample_tokens(logits, sub, temps, top_ps)
+                split = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+                subs, keys2 = split[:, 0], split[:, 1]
+                nxt, lps = sampling.sample_tokens(
+                    logits, None, temps, top_ps,
+                    token_counts=tok_counts,
+                    presence=presence,
+                    frequency=frequency,
+                    repetition=repetition,
+                    row_keys=subs,
+                )
+                b_idx = jnp.arange(tok_counts.shape[0])
+                tok_counts = tok_counts.at[b_idx, nxt].add(
+                    active.astype(jnp.int32)
+                )
                 emitted = jnp.where(active, nxt, -1)
                 counts2 = counts + active.astype(jnp.int32)
                 if eos_arr.shape[0] > 0:
@@ -163,14 +188,16 @@ class SlotEngine:
                     is_eos = jnp.zeros_like(active)
                 active2 = active & ~is_eos & (counts2 < max_toks)
                 tok2 = jnp.where(active2, nxt, tok)
-                return (cache2, tok2, active2, counts2, key), (emitted, lps)
+                return (cache2, tok2, active2, counts2, keys2, tok_counts), (emitted, lps)
 
             carry, (toks, lps) = jax.lax.scan(
-                step, (cache, last_tokens, active, counts, key), None,
+                step,
+                (cache, last_tokens, active, counts, keys, token_counts),
+                None,
                 length=n_steps,
             )
-            cache, tok, active, counts, key = carry
-            return toks, lps, tok, active, counts, key, cache
+            cache, tok, active, counts, keys, token_counts = carry
+            return toks, lps, tok, active, counts, keys, cache, token_counts
 
         self._prefill_one = jax.jit(prefill_one, donate_argnums=(3,))
         self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
@@ -233,8 +260,12 @@ class SlotEngine:
                 jnp.asarray([len(ids)], dtype=jnp.int32),
                 scratch,
             )
-            # Sample the first token.
-            self._key, sub = jax.random.split(self._key)
+            # Per-request PRNG stream (honors params.seed).
+            seed = req.params.seed
+            if seed is None:
+                seed = int.from_bytes(os.urandom(4), "little")
+            slot_key = jax.random.PRNGKey(seed)
+            slot_key, sub = jax.random.split(slot_key)
             first, _lp = sampling.sample_tokens(
                 last_logits,
                 sub,
@@ -252,7 +283,9 @@ class SlotEngine:
                 finish = "stop"
             elif req.params.max_tokens <= 1:
                 finish = "length"
-            req.on_token(first_tok, finish)
+            keep = req.on_token(first_tok, finish)
+            if keep is False:
+                finish = finish or "stop"
 
             new_lengths = self._cache.lengths.at[slot].set(len(ids))
             self._cache = self._insert_slot(
@@ -268,6 +301,18 @@ class SlotEngine:
             self._max_toks = self._max_toks.at[slot].set(req.params.max_tokens)
             self._temps = self._temps.at[slot].set(req.params.temperature)
             self._top_ps = self._top_ps.at[slot].set(req.params.top_p)
+            self._presence = self._presence.at[slot].set(
+                req.params.presence_penalty
+            )
+            self._frequency = self._frequency.at[slot].set(
+                req.params.frequency_penalty
+            )
+            self._repetition = self._repetition.at[slot].set(
+                req.params.repetition_penalty
+            )
+            self._keys = self._keys.at[slot].set(slot_key)
+            self._token_counts = self._token_counts.at[slot].set(0)
+            self._token_counts = self._token_counts.at[slot, first_tok].set(1)
             self._last_tokens = self._last_tokens.at[slot].set(first_tok)
             if not slot_active:
                 self._slot_req[slot] = None
@@ -293,7 +338,7 @@ class SlotEngine:
             t0 = time.perf_counter()
             (
                 toks, lps, self._last_tokens, self._active, self._counts,
-                self._key, self._cache,
+                self._keys, self._cache, self._token_counts,
             ) = self._decode_chunk(
                 self.model.params,
                 self._cache,
@@ -303,8 +348,12 @@ class SlotEngine:
                 self._max_toks,
                 self._temps,
                 self._top_ps,
-                self._key,
+                self._keys,
                 self._eos_arr,
+                self._token_counts,
+                self._presence,
+                self._frequency,
+                self._repetition,
                 self.chunk,
             )
             toks_host = np.asarray(jax.device_get(toks))  # (S, B)
@@ -326,9 +375,13 @@ class SlotEngine:
                         finish = "stop"
                     elif self._slot_generated[slot] >= req.params.max_tokens:
                         finish = "length"
-                    req.on_token(tid, finish)
-                    if finish:
+                    keep = req.on_token(tid, finish)
+                    if finish or keep is False:
                         self._slot_req[slot] = None
+                        if keep is False and not finish:
+                            # Host-side cancel (stop sequence / disconnect):
+                            # deactivate the device slot immediately.
+                            self._active = self._active.at[slot].set(False)
 
             self.metrics["decode_tokens_total"] += n_emitted
             self.metrics["decode_time_total"] += dt

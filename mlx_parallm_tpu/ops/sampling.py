@@ -54,14 +54,17 @@ def sample_tokens(
     presence: Optional[jnp.ndarray] = None,
     frequency: Optional[jnp.ndarray] = None,
     repetition: Optional[jnp.ndarray] = None,
+    row_keys: Optional[jnp.ndarray] = None,
 ):
     """Sample one token per row.
 
     logits: (B, V) float; temps/top_ps: (B,); logit_bias: optional (B, V)
     additive bias; token_counts + presence/frequency/repetition enable
-    repetition penalties. Rows with ``temps == 0`` take argmax. Returns
-    (tokens (B,), logprobs (B,)) where logprobs are log-softmax values of the
-    chosen token under the (biased, untempered) distribution.
+    repetition penalties; row_keys (B, 2) uint32 gives every row its own
+    PRNG stream (per-request seeds — overrides ``key``). Rows with
+    ``temps == 0`` take argmax. Returns (tokens (B,), logprobs (B,)) where
+    logprobs are log-softmax values of the chosen token under the (biased,
+    untempered) distribution.
     """
     if logit_bias is not None:
         logits = logits + logit_bias
@@ -88,7 +91,12 @@ def sample_tokens(
     keep = (cum - sorted_probs) < top_ps[:, None]
     filtered_sorted = jnp.where(keep, sorted_logits, NEG_INF)
 
-    gumbel = jax.random.gumbel(key, (b, v), dtype=jnp.float32)
+    if row_keys is not None:
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (v,), dtype=jnp.float32)
+        )(row_keys)
+    else:
+        gumbel = jax.random.gumbel(key, (b, v), dtype=jnp.float32)
     sampled_pos = jnp.argmax(filtered_sorted + gumbel, axis=-1)
     sampled = jnp.take_along_axis(sort_idx, sampled_pos[:, None], axis=-1)[:, 0]
 

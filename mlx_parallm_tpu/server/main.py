@@ -976,19 +976,36 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         results: List[Optional[Tuple[str, int, int, str]]] = [None] * n
         prompt_ids = G.encode_cached(tok, qr.prompt)
         remaining = {"n": n}
+        base_sp = _sp_from_request(qr.request, qr.max_tokens)
+        stops = base_sp.stop or []
 
         def make_cb(choice: int):
             ids: List[int] = []
+            detok = tok.make_detokenizer() if stops else None
 
-            def on_token(tid: int, finish: Optional[str]) -> None:
+            def finish_choice(text: str, finish: str) -> None:
+                results[choice] = (text, len(prompt_ids), len(ids), finish)
+                remaining["n"] -= 1
+                if remaining["n"] == 0:
+                    loop.call_soon_threadsafe(finalize)
+
+            def on_token(tid: int, finish: Optional[str]):
                 if finish != "stop":
                     ids.append(tid)
+                    if detok is not None:
+                        detok.add_token(tid)
+                        acc = detok.text
+                        for s in stops:
+                            if s and s in acc:
+                                finish_choice(acc[: acc.find(s)], "stop")
+                                return False  # cancel the slot
                 if finish:
                     text = tok.decode(ids, skip_special_tokens=True)
-                    results[choice] = (text, len(prompt_ids), len(ids), finish)
-                    remaining["n"] -= 1
-                    if remaining["n"] == 0:
-                        loop.call_soon_threadsafe(finalize)
+                    for s in stops:
+                        if s and s in text:
+                            text = text[: text.find(s)]
+                    finish_choice(text, finish)
+                return True
 
             return on_token
 
@@ -1046,7 +1063,10 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         def emit(line: str) -> None:
             loop.call_soon_threadsafe(it.queue.put_nowait, line)
 
-        def on_token(tid: int, finish: Optional[str]) -> None:
+        stops = sp.stop or []
+        acc_state = {"emitted": 0}
+
+        def on_token(tid: int, finish: Optional[str]):
             if first["v"]:
                 role_chunk = ChatCompletionChunk(
                     model=it.request.model,
@@ -1060,6 +1080,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 emit(f"data: {role_chunk.model_dump_json()}\n\n")
                 first["v"] = False
             delta = ""
+            cancelled = False
             if finish == "stop":
                 detok.finalize()
                 delta = detok.last_segment
@@ -1069,6 +1090,23 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 if finish == "length":
                     detok.finalize()
                     delta += detok.last_segment
+            if stops:
+                # Host-side stop sequences: truncate at the first match and
+                # cancel the slot.
+                acc = detok.text
+                cut = -1
+                for s in stops:
+                    if s:
+                        idx = acc.find(s)
+                        if idx != -1:
+                            cut = idx if cut == -1 else min(cut, idx)
+                if cut != -1:
+                    keep_text = acc[: cut]
+                    already = acc_state["emitted"]
+                    delta = keep_text[already:] if len(keep_text) > already else ""
+                    finish = "stop"
+                    cancelled = True
+            acc_state["emitted"] += len(delta)
             if delta or finish:
                 chunk = ChatCompletionChunk(
                     model=it.request.model,
@@ -1085,6 +1123,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 emit(f"data: {chunk.model_dump_json()}\n\n")
             if finish:
                 loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
+            return not cancelled
 
         engine.submit(
             SlotRequest(prompt_tokens=prompt_ids, params=sp, on_token=on_token)
