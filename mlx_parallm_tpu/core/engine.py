@@ -555,6 +555,39 @@ class DecodeEngine:
         return lp[:b, : max_len - 1], mask[:b, 1:max_len]
 
 
+    # ----------------------------------------------------------- embeddings
+
+    def embed(self, token_rows: Sequence[Sequence[int]]) -> np.ndarray:
+        """Mean-pooled final-hidden-state embeddings, (B, hidden) float32.
+
+        Backs the /v1/embeddings endpoint; pooling masks padding."""
+        b = len(token_rows)
+        b_pad = _bucket_batch(b, self.max_batch_size)
+        max_len = max(len(r) for r in token_rows)
+        t_pad = _bucket_len(max_len)
+        tokens_np = np.zeros((b_pad, t_pad), dtype=np.int32)
+        lengths_np = np.ones((b_pad,), dtype=np.int32)
+        for i, r in enumerate(token_rows):
+            tokens_np[i, : len(r)] = np.asarray(r, dtype=np.int32)
+            lengths_np[i] = max(1, len(r))
+        out = _embed_jit(
+            self.model.apply_fn_hidden(),
+            self.model.params,
+            jnp.asarray(tokens_np),
+            jnp.asarray(lengths_np),
+        )
+        return np.asarray(jax.device_get(out))[:b]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _embed_jit(hidden_fn, params, tokens, lengths):
+    hidden, _ = hidden_fn(params, tokens, None)
+    t = tokens.shape[1]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+    pooled = jnp.sum(hidden.astype(jnp.float32) * mask[..., None], axis=1)
+    return pooled / jnp.maximum(lengths[:, None].astype(jnp.float32), 1.0)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _score_jit(apply_fn, params, tokens, cache):
     logits, _ = apply_fn(params, tokens, cache)

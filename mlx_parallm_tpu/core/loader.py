@@ -118,6 +118,13 @@ class Model:
             return module.apply(args, params, tokens, cache)
         return fn
 
+    def apply_fn_hidden(self) -> Callable:
+        """Pure (params, tokens, cache) -> (hidden, cache) (pre-lm_head)."""
+        args, module = self.args, self.module
+        def fn(params, tokens, cache):
+            return module.apply(args, params, tokens, cache, return_hidden=True)
+        return fn
+
     def swap_params(self, new_params: Dict[str, Any]):
         self.params = new_params
         self.version += 1

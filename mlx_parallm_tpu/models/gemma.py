@@ -75,6 +75,7 @@ def apply(
     params: Dict[str, Any],
     tokens: jnp.ndarray,
     cache: Optional[KVCache],
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     qcfg = args.qcfg
     model_p = params["model"]
@@ -110,6 +111,10 @@ def apply(
         )
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps, plus_one=True)
+    if return_hidden:
+        if cache is not None:
+            cache = cache.advance(jnp.full((b,), t, dtype=jnp.int32))
+        return x, cache
     # Gemma always ties embeddings as the lm head (reference gemma.py:170).
     logits = P.embedding_as_linear(model_p["embed_tokens"], x, qcfg)
     if cache is not None:

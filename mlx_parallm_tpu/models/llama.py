@@ -136,6 +136,7 @@ def apply(
     params: Dict[str, Any],
     tokens: jnp.ndarray,
     cache: Optional[KVCache],
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Forward pass. tokens: (B, T) int32. Returns (logits (B, T, V), cache
     with ``lengths`` advanced by T — callers with ragged rows re-adjust).
@@ -162,6 +163,10 @@ def apply(
         x = x + _mlp_block(args, layer_p["mlp"], h)
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)
+    if return_hidden:
+        if cache is not None:
+            cache = cache.advance(jnp.full((b,), t, dtype=jnp.int32))
+        return x, cache
     if "lm_head" in params:
         logits = P.linear(params["lm_head"], x, qcfg)
     else:

@@ -98,6 +98,7 @@ def apply(
     params: Dict[str, Any],
     tokens: jnp.ndarray,
     cache: Optional[KVCache],
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     qcfg = args.qcfg
     model_p = params["model"]
@@ -120,6 +121,10 @@ def apply(
         x = x + _moe_block(args, layer_p["block_sparse_moe"], h)
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)
+    if return_hidden:
+        if cache is not None:
+            cache = cache.advance(jnp.full((b,), t, dtype=jnp.int32))
+        return x, cache
     if "lm_head" in params:
         logits = P.linear(params["lm_head"], x, qcfg)
     else:

@@ -37,6 +37,9 @@ from ..core.engine import DecodeEngine, SamplingParams
 from . import state
 from .schemas import (
     ChatCompletionChoice,
+    EmbeddingData,
+    EmbeddingRequest,
+    EmbeddingResponse,
     ChatCompletionChunk,
     ChatCompletionRequest,
     ChatCompletionResponse,
@@ -254,6 +257,7 @@ def create_app(args: Optional[ServerArgs] = None) -> web.Application:
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/perplexity", compute_perplexity)
+    app.router.add_post("/v1/embeddings", create_embeddings)
 
     app.on_startup.append(startup_event)
     app.on_cleanup.append(cleanup_event)
@@ -408,6 +412,35 @@ async def compute_perplexity(request: web.Request) -> web.Response:
             num_tokens=int(mask[0].sum()),
         ).model_dump()
     )
+
+
+async def create_embeddings(request: web.Request) -> web.Response:
+    """OpenAI-compatible /v1/embeddings: mean-pooled final hidden states."""
+    try:
+        body = EmbeddingRequest(**(await request.json()))
+    except Exception as e:
+        return _json_error(400, f"Invalid request: {e}")
+    rec = state.model_registry.get(body.model)
+    if rec is None or rec.status != ModelStatus.LOADED:
+        return _json_error(404, f"Model {body.model} not found")
+    tok = rec.tokenizer_instance
+    engine: DecodeEngine = rec.engine_instance
+    texts = body.input if isinstance(body.input, list) else [body.input]
+    if not texts:
+        return _json_error(400, "input must be non-empty")
+    rows = [G.encode_cached(tok, t) or [tok.pad_token_id] for t in texts]
+    loop = asyncio.get_running_loop()
+    vecs = await loop.run_in_executor(None, engine.embed, rows)
+    n_tokens = sum(len(r) for r in rows)
+    resp = EmbeddingResponse(
+        model=body.model,
+        data=[
+            EmbeddingData(index=i, embedding=[float(x) for x in vecs[i]])
+            for i in range(len(texts))
+        ],
+        usage=UsageInfo(prompt_tokens=n_tokens, total_tokens=n_tokens),
+    )
+    return web.json_response(resp.model_dump())
 
 
 # ------------------------------------------------------------- completions

@@ -195,3 +195,26 @@ class PerplexityResponse(BaseModel):
     perplexity: float
     avg_nll: float
     num_tokens: int
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+class EmbeddingRequest(BaseModel):
+    model: str
+    input: Union[str, List[str]]
+    encoding_format: Optional[str] = "float"
+    user: Optional[str] = None
+
+
+class EmbeddingData(BaseModel):
+    object: str = "embedding"
+    index: int
+    embedding: List[float]
+
+
+class EmbeddingResponse(BaseModel):
+    object: str = "list"
+    model: str
+    data: List[EmbeddingData]
+    usage: UsageInfo = Field(default_factory=UsageInfo)

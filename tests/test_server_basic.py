@@ -247,3 +247,33 @@ def test_debug_metrics(server):
         "last_decode_tps",
     ):
         assert key in m
+
+
+def test_embeddings(server):
+    r = requests.post(
+        f"{server.base}/v1/embeddings",
+        json={
+            "model": server.model_id,
+            "input": ["Hello world", "Another sentence"],
+        },
+        timeout=180,
+    )
+    assert r.status_code == 200, r.text
+    data = r.json()
+    assert data["object"] == "list"
+    assert len(data["data"]) == 2
+    emb0 = data["data"][0]["embedding"]
+    emb1 = data["data"][1]["embedding"]
+    assert len(emb0) == len(emb1) > 0
+    assert emb0 != emb1
+    assert data["usage"]["prompt_tokens"] > 0
+
+
+def test_embeddings_single_string(server):
+    r = requests.post(
+        f"{server.base}/v1/embeddings",
+        json={"model": server.model_id, "input": "single"},
+        timeout=180,
+    )
+    assert r.status_code == 200, r.text
+    assert len(r.json()["data"]) == 1
