@@ -1,0 +1,174 @@
+"""Gemma 2 family.
+
+Extends gemma with the Gemma-2 architecture features: sandwich norms
+(pre/post feedforward layernorms), attention + final logit soft-capping,
+alternating local (sliding-window) / global attention layers, and
+``query_pre_attn_scalar`` scaling. The reference stops at gemma v1
+(reference: /root/reference/mlx_parallm/models/gemma.py); this family is a
+superset addition using the same (1 + weight) RMSNorm and scaled-embedding
+conventions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import params as P
+from ..ops import attention, rope
+from .base import BaseModelArgs, KVCache, make_positions
+
+
+@dataclasses.dataclass
+class ModelArgs(BaseModelArgs):
+    model_type: str = "gemma2"
+    hidden_size: int = 2304
+    num_hidden_layers: int = 26
+    intermediate_size: int = 9216
+    num_attention_heads: int = 8
+    num_key_value_heads: int = 4
+    head_dim: int = 256
+    rms_norm_eps: float = 1e-6
+    vocab_size: int = 256000
+    rope_theta: float = 10000.0
+    attn_logit_softcapping: Optional[float] = 50.0
+    final_logit_softcapping: Optional[float] = 30.0
+    query_pre_attn_scalar: float = 256.0
+    sliding_window: int = 4096
+    sliding_window_pattern: int = 2
+    quantization: Optional[Dict[str, int]] = None
+
+    @property
+    def qcfg(self):
+        if self.quantization:
+            return (
+                self.quantization.get("group_size", 64),
+                self.quantization.get("bits", 4),
+            )
+        return None
+
+
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
+    b, t, _ = x.shape
+    h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.head_dim
+    qcfg = args.qcfg
+
+    q = P.linear(p["q_proj"], x, qcfg).reshape(b, t, h, d)
+    k = P.linear(p["k_proj"], x, qcfg).reshape(b, t, hkv, d)
+    v = P.linear(p["v_proj"], x, qcfg).reshape(b, t, hkv, d)
+
+    q = rope.apply_rope(q, positions, base=args.rope_theta)
+    k = rope.apply_rope(k, positions, base=args.rope_theta)
+
+    # Alternating local/global attention (local on layers where
+    # (layer+1) % pattern != 0, per HF convention).
+    is_local = (layer % args.sliding_window_pattern) != (
+        args.sliding_window_pattern - 1
+    )
+    window = args.sliding_window if is_local else None
+    scale = args.query_pre_attn_scalar**-0.5
+
+    if cache is None:
+        offsets = jnp.zeros((b,), dtype=jnp.int32)
+        out = attention.sdpa(
+            q, k, v, q_offsets=offsets, scale=scale,
+            logit_softcap=args.attn_logit_softcapping,
+            sliding_window=window,
+        )
+    else:
+        cache = cache.update_layer(layer, k, v)
+        k_slab, v_slab = cache.layer_view(layer)
+        out = attention.sdpa(
+            q, k_slab, v_slab, q_offsets=cache.lengths, scale=scale,
+            logit_softcap=args.attn_logit_softcapping,
+            sliding_window=window,
+        )
+    out = out.reshape(b, t, h * d)
+    return P.linear(p["o_proj"], out, qcfg), cache
+
+
+def apply(
+    args: ModelArgs,
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,
+    cache: Optional[KVCache],
+    return_hidden: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    qcfg = args.qcfg
+    model_p = params["model"]
+    b, t = tokens.shape
+    if cache is None:
+        positions = make_positions(jnp.zeros((b,), dtype=jnp.int32), t)
+    else:
+        positions = make_positions(cache.lengths, t)
+
+    x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
+    x = x * jnp.asarray(args.hidden_size**0.5, dtype=x.dtype)
+
+    for i, layer_p in enumerate(model_p["layers"]):
+        h = P.rms_norm(
+            layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps, plus_one=True
+        )
+        attn_out, cache = _attention_block(
+            args, layer_p["self_attn"], h, cache, i, positions
+        )
+        attn_out = P.rms_norm(
+            layer_p["post_attention_layernorm"]["weight"],
+            attn_out,
+            args.rms_norm_eps,
+            plus_one=True,
+        )
+        x = x + attn_out
+        h = P.rms_norm(
+            layer_p["pre_feedforward_layernorm"]["weight"],
+            x,
+            args.rms_norm_eps,
+            plus_one=True,
+        )
+        gate = P.linear(layer_p["mlp"]["gate_proj"], h, qcfg)
+        up = P.linear(layer_p["mlp"]["up_proj"], h, qcfg)
+        mlp_out = P.linear(
+            layer_p["mlp"]["down_proj"],
+            jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype)
+            * up,
+            qcfg,
+        )
+        mlp_out = P.rms_norm(
+            layer_p["post_feedforward_layernorm"]["weight"],
+            mlp_out,
+            args.rms_norm_eps,
+            plus_one=True,
+        )
+        x = x + mlp_out
+
+    x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps, plus_one=True)
+    if return_hidden:
+        if cache is not None:
+            cache = cache.advance(jnp.full((b,), t, dtype=jnp.int32))
+        return x, cache
+    logits = P.embedding_as_linear(model_p["embed_tokens"], x, qcfg)
+    if args.final_logit_softcapping:
+        cap = args.final_logit_softcapping
+        logits = jnp.tanh(logits.astype(jnp.float32) / cap) * cap
+    if cache is not None:
+        cache = cache.advance(jnp.full((b,), t, dtype=jnp.int32))
+    return logits, cache
+
+
+def sanitize(weights: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {
+        k: v
+        for k, v in weights.items()
+        if "rotary_emb.inv_freq" not in k and not k.startswith("lm_head")
+    }
+
+
+def n_kv_heads(args: ModelArgs) -> int:
+    return args.num_key_value_heads
+
+
+def head_dim(args: ModelArgs) -> int:
+    return args.head_dim

@@ -160,6 +160,24 @@ def build_tiny_model(
             add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
             weights[f"{p}.input_layernorm.weight"] = np.zeros(hidden_size, np.float32)
             weights[f"{p}.post_attention_layernorm.weight"] = np.zeros(hidden_size, np.float32)
+    elif model_type == "gemma2":
+        config["head_dim"] = head_dim
+        config["query_pre_attn_scalar"] = float(head_dim)
+        config["sliding_window"] = 32
+        config["attn_logit_softcapping"] = 50.0
+        config["final_logit_softcapping"] = 30.0
+        for i in range(num_layers):
+            p = f"model.layers.{i}"
+            add_linear(f"{p}.self_attn.q_proj", num_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.k_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.v_proj", num_kv_heads * head_dim, hidden_size)
+            add_linear(f"{p}.self_attn.o_proj", hidden_size, num_heads * head_dim)
+            add_linear(f"{p}.mlp.gate_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.up_proj", intermediate_size, hidden_size)
+            add_linear(f"{p}.mlp.down_proj", hidden_size, intermediate_size)
+            for nname in ("input_layernorm", "post_attention_layernorm",
+                          "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+                weights[f"{p}.{nname}.weight"] = np.zeros(hidden_size, np.float32)
     elif model_type == "phi3":
         for i in range(num_layers):
             p = f"model.layers.{i}"
@@ -195,7 +213,7 @@ def build_tiny_model(
         raise ValueError(f"tiny model factory: unknown model_type {model_type}")
     weights["model.norm.weight"] = (
         np.zeros(hidden_size, np.float32)
-        if model_type == "gemma"
+        if model_type in ("gemma", "gemma2")
         else np.ones(hidden_size, np.float32)
     )
 

@@ -11,7 +11,7 @@ from mlx_parallm_tpu.core.engine import DecodeEngine, SamplingParams
 from mlx_parallm_tpu.models.base import KVCache
 from mlx_parallm_tpu.tools.tiny_model import build_tiny_model
 
-FAMILIES = ["llama", "qwen3", "gemma", "phi3", "mixtral", "mistral"]
+FAMILIES = ["llama", "qwen3", "gemma", "gemma2", "phi3", "mixtral", "mistral"]
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
