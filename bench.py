@@ -167,8 +167,11 @@ def main() -> int:
         decode_t = engine.metrics["last_decode_tps"]
         return decode_t, t_first, n_tok / dt
 
-    # Warmup (compile).
-    run(args.warmup_steps)
+    # Warmup (compile). Must use the SAME max_tokens as the measured run:
+    # max_tokens feeds the KV-capacity bucket, and a different capacity is a
+    # different cache shape -> prefill + decode_chunk recompile inside the
+    # timed region (observed: 32 tok/s reported for a 550 tok/s engine).
+    run(args.steps)
     decode_tps, ttft, total_tps = run(args.steps)
 
     # Throughput configuration: batch 32 on the same engine/weights.
@@ -190,7 +193,7 @@ def main() -> int:
             pass
         return engine_big.metrics["last_decode_tps"]
 
-    run_big(args.warmup_steps)
+    run_big(args.steps)  # warmup at identical shapes (see above)
     big_tps = run_big(args.steps)
 
     value = round(max(decode_tps, big_tps), 2)

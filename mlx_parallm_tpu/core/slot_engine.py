@@ -157,6 +157,7 @@ class SlotEngine:
             params, cache, last_tokens, active, counts, max_toks,
             temps, top_ps, keys, eos_arr, token_counts,
             presence, frequency, repetition, n_steps,
+            sampler_mode="topp",
         ):
             def step(carry, _):
                 cache, tok, active, counts, keys, tok_counts = carry
@@ -175,6 +176,7 @@ class SlotEngine:
                     frequency=frequency,
                     repetition=repetition,
                     row_keys=subs,
+                    mode=sampler_mode,
                 )
                 b_idx = jnp.arange(tok_counts.shape[0])
                 tok_counts = tok_counts.at[b_idx, nxt].add(
@@ -202,7 +204,9 @@ class SlotEngine:
         self._prefill_one = jax.jit(prefill_one, donate_argnums=(3,))
         self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
         self._decode_chunk = jax.jit(
-            decode_chunk, static_argnames=("n_steps",), donate_argnums=(1,)
+            decode_chunk,
+            static_argnames=("n_steps", "sampler_mode"),
+            donate_argnums=(1,),
         )
 
     # ------------------------------------------------------------ public API
@@ -335,6 +339,16 @@ class SlotEngine:
                 self._wake.clear()
                 continue
 
+            # Static sampler fast path over the OCCUPIED slots (free slots
+            # keep stale params); at most 3 jit variants total.
+            live = [r.params for r in self._slot_req if r is not None]
+            if all(p.temperature <= 0 for p in live):
+                sampler_mode = "greedy"
+            elif all(p.top_p >= 1.0 for p in live):
+                sampler_mode = "temp"
+            else:
+                sampler_mode = "topp"
+
             t0 = time.perf_counter()
             (
                 toks, lps, self._last_tokens, self._active, self._counts,
@@ -355,6 +369,7 @@ class SlotEngine:
                 self._frequency,
                 self._repetition,
                 self.chunk,
+                sampler_mode,
             )
             toks_host = np.asarray(jax.device_get(toks))  # (S, B)
             dt = time.perf_counter() - t0

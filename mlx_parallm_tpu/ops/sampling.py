@@ -55,6 +55,7 @@ def sample_tokens(
     frequency: Optional[jnp.ndarray] = None,
     repetition: Optional[jnp.ndarray] = None,
     row_keys: Optional[jnp.ndarray] = None,
+    mode: str = "topp",
 ):
     """Sample one token per row.
 
@@ -65,6 +66,14 @@ def sample_tokens(
     ``temps == 0`` take argmax. Returns (tokens (B,), logprobs (B,)) where
     logprobs are log-softmax values of the chosen token under the (biased,
     untempered) distribution.
+
+    ``mode`` is a STATIC fast-path selector the caller derives from the
+    batch's sampling params (the full top-p path argsorts the whole vocab
+    every step — ~2.6 ms/step for a (8, 32k) batch on v5e, pure waste for
+    greedy traffic):
+      * "greedy": every row has temperature 0 — argmax only.
+      * "temp":   every row has top_p >= 1 — Gumbel trick, no vocab sort.
+      * "topp":   the general path (per-row top-p in sorted order).
     """
     if logit_bias is not None:
         logits = logits + logit_bias
@@ -77,9 +86,31 @@ def sample_tokens(
 
     base_logprobs = jax.nn.log_softmax(logits, axis=-1)
 
+    if mode == "greedy":
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logprobs = jnp.take_along_axis(
+            base_logprobs, tokens[:, None], axis=-1
+        )[:, 0]
+        return tokens, logprobs
+
     # Temperature (guard zero for the greedy rows).
     safe_t = jnp.where(temps > 0, temps, 1.0)[:, None]
     scaled = logits / safe_t
+
+    if mode == "temp":
+        if row_keys is not None:
+            gumbel = jax.vmap(
+                lambda k: jax.random.gumbel(k, (v,), dtype=jnp.float32)
+            )(row_keys)
+        else:
+            gumbel = jax.random.gumbel(key, (b, v), dtype=jnp.float32)
+        sampled = jnp.argmax(scaled + gumbel, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1)
+        tokens = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+        logprobs = jnp.take_along_axis(
+            base_logprobs, tokens[:, None], axis=-1
+        )[:, 0]
+        return tokens, logprobs
 
     # Per-row top-p filtering in sorted order.
     sort_idx = jnp.argsort(-scaled, axis=-1)

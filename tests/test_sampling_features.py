@@ -125,3 +125,46 @@ def test_stop_sequence_streaming(loaded):
             break
     assert finish == "stop"
     assert stop not in acc
+
+
+def test_sampler_mode_fast_paths_match():
+    """Static greedy/temp fast paths must agree with the general path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_parallm_tpu.ops import sampling
+
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (4, 257)) * 3.0
+
+    # Greedy rows: all three modes must produce identical argmax tokens.
+    temps0 = jnp.zeros((4,))
+    tps1 = jnp.ones((4,))
+    t_full, lp_full = sampling.sample_tokens(logits, key, temps0, tps1)
+    t_greedy, lp_greedy = sampling.sample_tokens(
+        logits, key, temps0, tps1, mode="greedy"
+    )
+    t_temp, lp_temp = sampling.sample_tokens(
+        logits, key, temps0, tps1, mode="temp"
+    )
+    assert (t_full == t_greedy).all() and (t_full == t_temp).all()
+    assert jnp.allclose(lp_full, lp_greedy, atol=1e-5)
+    assert jnp.allclose(lp_full, lp_temp, atol=1e-5)
+
+    # Stochastic rows with top_p=1: temp mode uses the same Gumbel draw as
+    # the full path (identical key, identical filtered logits) -> identical
+    # tokens.
+    temps = jnp.full((4,), 0.8)
+    t_full, _ = sampling.sample_tokens(logits, key, temps, tps1)
+    t_temp, _ = sampling.sample_tokens(logits, key, temps, tps1, mode="temp")
+    # Both sample from the same untruncated distribution with the same key;
+    # the full path argmaxes over sorted+gumbel, temp over unsorted+gumbel,
+    # so draws differ per-position — instead verify distributional sanity:
+    # with temperature ~0.01 both must match the argmax almost surely.
+    temps_sharp = jnp.full((4,), 1e-3)
+    t_full, _ = sampling.sample_tokens(logits, key, temps_sharp, tps1)
+    t_temp, _ = sampling.sample_tokens(
+        logits, key, temps_sharp, tps1, mode="temp"
+    )
+    am = jnp.argmax(logits, axis=-1)
+    assert (t_full == am).all() and (t_temp == am).all()
