@@ -62,12 +62,17 @@ def build_random_quantized_llama(
 
     per_word = 32 // bits
 
+    from mlx_parallm_tpu.ops import quant
+
     def ql(key, out_f, in_f):
         k1, k2, k3 = jax.random.split(key, 3)
         g = in_f // group_size
-        # Random weights directly in the fused-kernel packed layout (random
-        # values are layout-invariant); throughput is what's measured.
-        wk = jax.random.bits(k1, (in_f // per_word, out_f), jnp.uint32)
+        # Random weights directly in the tiled fused-kernel packed layout
+        # (random values are layout-invariant); throughput is what's measured.
+        nt = quant.choose_n_tile(in_f, out_f, bits)
+        wk = jax.random.bits(
+            k1, (out_f // nt, in_f // per_word, nt), jnp.uint32
+        )
         scales = (jax.random.uniform(k2, (out_f, g), jnp.float32) * 0.02 + 0.001).astype(jnp.bfloat16)
         biases = (jax.random.uniform(k3, (out_f, g), jnp.float32) * 0.02 - 0.16).astype(jnp.bfloat16)
         return {"wk": wk, "scales": scales, "biases": biases}

@@ -180,12 +180,16 @@ def load_model(
                     n, kw_m = arr.shape
                     k = kw_m * (32 // bits)
                     probe = jnp.zeros((1, k), jnp.bfloat16)
-                    wk = quant.kernel_pack(arr, gs, bits)
-                    if qmm_pallas.supported(
-                        probe, wk, flat[base + ".scales"], gs, bits
-                    ):
-                        flat[base + ".wk"] = wk
-                        built = True
+                    nt = quant.choose_n_tile(k, n, bits)
+                    if nt is not None:
+                        wk = quant.tile_kernel(
+                            quant.kernel_pack(arr, gs, bits), nt
+                        )
+                        if qmm_pallas.supported(
+                            probe, wk, flat[base + ".scales"], gs, bits
+                        ):
+                            flat[base + ".wk"] = wk
+                            built = True
                 if not built and arr.ndim == 2:
                     flat[base + ".q8"] = quant.unpack(arr, bits)
 
@@ -222,10 +226,19 @@ def _fuse_layer_projections(nested: Dict[str, Any], gs: int, bits: int) -> None:
         parts = [parent.get(n) for n in names]
         if any(p is None or "wk" not in p for p in parts):
             return
-        wk = jnp.concatenate([p["wk"] for p in parts], axis=1)  # (Kw, N_total)
+        # wk's are tiled (T, Kw, NT): untile, concatenate along N, retile for
+        # the fused width.
+        wk2 = jnp.concatenate(
+            [quant.untile_kernel(p["wk"]) for p in parts], axis=1
+        )  # (Kw, N_total)
         scales = jnp.concatenate([p["scales"] for p in parts], axis=0)
         biases = jnp.concatenate([p["biases"] for p in parts], axis=0)
-        k = wk.shape[0] * (32 // bits)
+        k = wk2.shape[0] * (32 // bits)
+        n_total = wk2.shape[1]
+        nt = quant.choose_n_tile(k, n_total, bits)
+        if nt is None:
+            return
+        wk = quant.tile_kernel(wk2, nt)
         probe = jnp.zeros((1, k), probe_dtype)
         if not qmm_pallas.supported(probe, wk, scales, gs, bits):
             return

@@ -79,9 +79,10 @@ def qmm(
     """Quantized linear: ``x @ dequant(W)^T``.
 
     ``packed`` is the MLX uint32-packed weight ``(N, K*bits//32)``;
-    ``q_kernel`` is the optional (Kw, N) fused-kernel layout
-    (quant.kernel_pack) enabling the Pallas path on TPU; ``q_int8`` is an
-    optional unpacked int8 mirror ``(N, K)`` enabling the grouped path.
+    ``q_kernel`` is the optional TILED (T, Kw, NT) fused-kernel layout
+    (quant.tile_kernel(quant.kernel_pack(...))) enabling the Pallas path on
+    TPU; ``q_int8`` is an optional unpacked int8 mirror ``(N, K)`` enabling
+    the grouped path.
     """
     if impl == "auto":
         if _on_tpu() and q_kernel is not None:

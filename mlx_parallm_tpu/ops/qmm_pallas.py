@@ -6,11 +6,14 @@ ONE lane-wise mask + ``bitcast`` (no per-element shifts), dequantized with a
 tile-repeat scale map, and fed to the MXU — replacing MLX's fused
 ``QuantizedLinear`` matmul (reference: /root/reference/mlx_parallm/utils.py:686-690).
 
-Layout contract (see ``ops.quant.kernel_pack`` / ``kernel_layout_indices``):
-packed ``(Kw, N)`` uint32 whose byte-planes, after
-``pltpu.bitcast(w & 0x0F0F0F0F, int8)`` (and the ``>> 4`` variant for the odd
-nibbles), form ``(K/2, N)`` int8 matrices where plane-row ``t`` belongs to
-quant group ``t mod G``. The matching activation permutation is a pure
+Layout contract (see ``ops.quant.kernel_pack`` / ``kernel_layout_indices`` /
+``tile_kernel``): the packed kernel is a TILED ``(T, Kw, NT)`` uint32 tensor
+(tile t = output columns [t*NT, (t+1)*NT)), so each weight block the grid
+touches is one fully contiguous HBM region — measured ~25% faster on v5e than
+blocked reads out of a row-major (Kw, N) matrix. Within a tile, byte-planes
+after ``pltpu.bitcast(w & 0x0F0F0F0F, int8)`` (and the ``>> 4`` variant for
+odd nibbles) form ``(K/2, NT)`` int8 matrices where plane-row ``t`` belongs
+to quant group ``t mod G``. The matching activation permutation is a pure
 reshape/transpose of the (small) ``x`` done in XLA:
 
     INT4:  y = x_even @ (i8_even * s_map) + x_odd @ (i8_odd * s_map)
@@ -29,7 +32,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 M_TILE = 16  # bf16 sublane minimum; decode batches are padded up to this
-N_TILE = 256
 _NIBBLE_MASK = 0x0F0F0F0F
 
 
@@ -42,11 +44,48 @@ def _m_tile(m_pad: int) -> int:
     return M_TILE
 
 
+# Conservative headroom under the 16 MiB scoped limit: the model below does
+# not count the materialized scale map / compiler copies, and embedding the
+# kernel in a larger XLA program adds operand copies (observed: a shape whose
+# standalone compile fit OOM'd inside the full prefill program).
+_VMEM_BUDGET = 11 * 2**20
+
+
+def _scoped_vmem(mt: int, kwt: int, nt: int, g: int, bits: int) -> int:
+    """Estimate of the kernel's scoped VMEM footprint (calibrated against
+    Mosaic's reported allocations: weight blocks double-buffered, x/out
+    blocks double-buffered, the dequant expansion fused into the dot)."""
+    nplanes = 2 if bits == 4 else 1
+    w = 2 * kwt * nt * 4
+    x = 2 * nplanes * mt * (4 * kwt) * 2
+    out = 2 * mt * nt * 4
+    sb = 4 * g * nt * 2
+    return w + x + out + sb
+
+
+def _kw_tile(kw: int, g: int, mt: int = M_TILE, nt: int = 256, bits: int = 4) -> int:
+    """Largest divisor of Kw that keeps per-tile plane rows a multiple of G
+    (valid tile-repeat scale map) and fits the VMEM budget at this (mt, nt)."""
+    for d in range(min(kw, 512), 0, -1):
+        if kw % d != 0 or (4 * d) % g != 0:
+            continue
+        # x blocks are (mt, 4*d): Pallas requires the last block dim be a
+        # multiple of 128 unless it spans the full array dimension.
+        if d != kw and (4 * d) % 128 != 0:
+            continue
+        if _scoped_vmem(mt, d, nt, g, bits) <= _VMEM_BUDGET:
+            return d
+    return 0
+
+
 def supported(x, packed_kernel, scales, group_size, bits) -> bool:
-    """Shape/alignment gate. ``packed_kernel`` is the (Kw, N) kernel layout."""
+    """Shape/alignment gate. ``packed_kernel`` is the tiled (T, Kw, NT)
+    kernel layout (quant.tile_kernel of quant.kernel_pack)."""
     if packed_kernel is None or bits not in (4, 8):
         return False
-    kw, n = packed_kernel.shape
+    if packed_kernel.ndim != 3:
+        return False
+    t, kw, nt = packed_kernel.shape
     per_word = 32 // bits
     k = kw * per_word
     if x.shape[-1] != k:
@@ -57,31 +96,25 @@ def supported(x, packed_kernel, scales, group_size, bits) -> bool:
     rows = k // 2 if bits == 4 else k
     if rows % g != 0:
         return False
-    if n % N_TILE != 0 or kw % 8 != 0:
+    if nt % 256 != 0 or kw % 8 != 0:
         return False
-    if kw > 512:
-        # K is grid-tiled; need a divisor of Kw that keeps the per-tile plane
-        # rows a multiple of G (valid tile-repeat scale map) and fits VMEM.
-        if not any(
-            kw % d == 0 and (4 * d) % g == 0
-            for d in range(min(kw, 512), 0, -1)
-        ):
-            return False
-    return True
+    # Feasibility at the decode m-tile; qmm_pallas() itself re-budgets for
+    # the actual batch (shrinking mt if needed).
+    return _kw_tile(kw, g, M_TILE, nt, bits) > 0
 
 
 def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
     """INT4 tile: two bitcast nibble-plane matmuls + affine bias term.
 
-    Grid is (M, N, K) with K innermost; the output block is revisited across
-    K steps and accumulated in place."""
+    Grid is (M, N-tiles, K) with K innermost; the output block is revisited
+    across K steps and accumulated in place."""
     kt = pl.program_id(2)
-    w = w_ref[:]
+    w = w_ref[0]
     even = pltpu.bitcast(w & jnp.uint32(_NIBBLE_MASK), jnp.int8)
     odd = pltpu.bitcast(
         (w >> jnp.uint32(4)) & jnp.uint32(_NIBBLE_MASK), jnp.int8
     )
-    s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (rows_t, N) bf16
+    s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (rows_t, NT) bf16
     acc = jnp.dot(
         xe_ref[:],
         even.astype(jnp.bfloat16) * s_map,
@@ -107,8 +140,8 @@ def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
 def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
     """INT8 tile: one bitcast byte-plane matmul + affine bias term."""
     kt = pl.program_id(2)
-    w = w_ref[:]
-    vals = pltpu.bitcast(w, jnp.int8)  # (rows_t, N), stored -128-biased
+    w = w_ref[0]
+    vals = pltpu.bitcast(w, jnp.int8)  # (rows_t, NT), stored -128-biased
     s_map = pltpu.repeat(s_ref[:], reps, axis=0)
     acc = jnp.dot(
         xp_ref[:],
@@ -131,11 +164,13 @@ def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
 def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
     """y = x @ dequant(W)^T.
 
-    x: (..., K); packed_kernel: (Kw, N) uint32 in KERNEL layout
-    (quant.kernel_pack); scales/biases: (N, G) MLX layout.
+    x: (..., K); packed_kernel: (T, Kw, NT) uint32 in TILED KERNEL layout
+    (quant.tile_kernel(quant.kernel_pack(...))); scales/biases: (N, G) MLX
+    layout.
     """
     *lead, k = x.shape
-    kw, n = packed_kernel.shape
+    n_t, kw, nt = packed_kernel.shape
+    n = n_t * nt
     g = k // group_size
 
     xf = x.reshape(-1, k).astype(jnp.bfloat16)
@@ -149,15 +184,13 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
         xf.reshape(m_pad, g, group_size).astype(jnp.float32), axis=-1
     ).astype(jnp.bfloat16)
 
-    # K tiling: pick the largest divisor of Kw whose plane-row count stays a
-    # multiple of G (keeps the tile-repeat scale map valid per K tile) and
-    # whose VMEM footprint fits.
-    kw_tile = kw
-    if kw > 512:
-        for d in range(kw, 0, -1):
-            if kw % d == 0 and (4 * d) % g == 0 and d <= 512:
-                kw_tile = d
-                break
+    # Joint (mt, kw_tile) choice under the VMEM budget: prefer the large
+    # prefill m-tile, shrink it before giving up on a valid K tiling.
+    kw_tile = _kw_tile(kw, g, mt, nt, bits)
+    while kw_tile == 0 and mt > M_TILE:
+        mt //= 2
+        kw_tile = _kw_tile(kw, g, mt, nt, bits)
+    assert kw_tile > 0, (kw, g, mt, nt, bits)
     n_kt = kw // kw_tile
     rows_t = 4 * kw_tile  # plane rows per K tile (both bit widths)
 
@@ -194,7 +227,7 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
             ),
         ]
 
-    grid = (m_pad // mt, n // N_TILE, n_kt)
+    grid = (m_pad // mt, n_t, n_kt)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
@@ -205,17 +238,19 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
                 (mt, g), lambda i, j, kt: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (kw_tile, N_TILE), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM
+                (1, kw_tile, nt),
+                lambda i, j, kt: (j, kt, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (g, N_TILE), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
+                (g, nt), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (g, N_TILE), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
+                (g, nt), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (mt, N_TILE), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
+            (mt, nt), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,

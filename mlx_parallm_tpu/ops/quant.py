@@ -171,3 +171,41 @@ def kernel_pack(
     # (N, Kw, P) -> (Kw, N, P) -> pack intra-word slots.
     q_kernel = q_kernel.transpose(1, 0, 2)
     return pack(q_kernel, bits).reshape(kw, n)  # (Kw, N) uint32
+
+
+# N-tile candidates for the tiled kernel layout, largest first. Bigger tiles
+# mean longer contiguous DMA bursts (one (Kw, NT) block is a single
+# sequential HBM read); measured on v5e: NT=2048 streams ~25% faster than
+# the strided 2D layout. 256 is the kernel's lane-width floor.
+_N_TILE_CANDIDATES = (2048, 1024, 512, 256)
+
+
+def choose_n_tile(k: int, n: int, bits: int, n_shards: int = 1):
+    """Largest N-tile that (a) divides ``n`` (per shard when ``n_shards``>1)
+    and (b) keeps one double-buffered weight block within VMEM. Returns None
+    when no candidate fits (caller falls back to a non-Pallas path)."""
+    kw = k * bits // 32
+    kw_tile = min(kw, 512)
+    for nt in _N_TILE_CANDIDATES:
+        if n % nt != 0 or (n // nt) % n_shards != 0:
+            continue
+        if kw_tile * nt * 4 * 2 > 10 * 2**20:  # double-buffered block budget
+            continue
+        return nt
+    return None
+
+
+def tile_kernel(wk: jax.Array, n_tile: int) -> jax.Array:
+    """(Kw, N) kernel layout -> tiled (N // n_tile, Kw, n_tile).
+
+    Tile t holds columns ``[t*n_tile, (t+1)*n_tile)`` so each Pallas weight
+    block is one fully contiguous HBM region."""
+    kw, n = wk.shape
+    assert n % n_tile == 0, (wk.shape, n_tile)
+    return wk.reshape(kw, n // n_tile, n_tile).transpose(1, 0, 2)
+
+
+def untile_kernel(wk3: jax.Array) -> jax.Array:
+    """Inverse of ``tile_kernel``: (T, Kw, NT) -> (Kw, T*NT)."""
+    t, kw, nt = wk3.shape
+    return wk3.transpose(1, 0, 2).reshape(kw, t * nt)

@@ -71,12 +71,13 @@ def partition_spec_for(name: str) -> P:
         return P()  # adapters + biases replicated (tiny)
     if _COL_PARALLEL.search(prefix) or _VOCAB_PARALLEL.search(prefix):
         # weight (N, K[,packed]) / scales (N, G) / q8 (N, K): shard N.
-        # "wk" fused-kernel layout is transposed (Kw, N): shard axis 1.
-        return P(None, "tp") if leaf == "wk" else P("tp", None)
+        # "wk" tiled fused-kernel layout is (T, Kw, NT) with tiles laid out
+        # along N: shard the tile axis.
+        return P("tp", None, None) if leaf == "wk" else P("tp", None)
     if _ROW_PARALLEL.search(prefix):
         # weight (N, K): shard K; scales/biases (N, G): shard G (groups live
-        # along K); q8 (N, K): shard K; "wk" (Kw, N): shard axis 0.
-        return P("tp", None) if leaf == "wk" else P(None, "tp")
+        # along K); q8 (N, K): shard K; "wk" (T, Kw, NT): shard Kw (axis 1).
+        return P(None, "tp", None) if leaf == "wk" else P(None, "tp")
     return P()
 
 

@@ -75,3 +75,30 @@ def test_qmm_auto_jit():
     y = f(x, packed, scales, biases)
     y_ref = x @ quant.dequantize(packed, scales, biases, 64, 4).T
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_tile_untile_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_parallm_tpu.ops import quant
+
+    wk = jax.random.bits(jax.random.PRNGKey(0), (64, 2048), jnp.uint32)
+    for nt in (256, 512, 1024, 2048):
+        wk3 = quant.tile_kernel(wk, nt)
+        assert wk3.shape == (2048 // nt, 64, nt)
+        assert (quant.untile_kernel(wk3) == wk).all()
+        # Tile t must hold columns [t*nt, (t+1)*nt) in order.
+        if wk3.shape[0] > 1:
+            assert (wk3[1] == wk[:, nt : 2 * nt]).all()
+
+
+def test_choose_n_tile_properties():
+    from mlx_parallm_tpu.ops import quant
+
+    # Picks the largest candidate dividing N.
+    assert quant.choose_n_tile(4096, 28672, 4) == 2048
+    assert quant.choose_n_tile(4096, 32000, 4) == 256  # 32000 % 512 != 0
+    assert quant.choose_n_tile(4096, 100, 4) is None  # below lane floor
+    # Shard-aware: N/nt must stay divisible by n_shards.
+    assert quant.choose_n_tile(4096, 28672, 4, n_shards=8) == 512  # 28672/512=56
