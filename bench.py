@@ -186,7 +186,8 @@ def main() -> int:
         for _ in range(big_batch)
     ]
     engine_big = DecodeEngine(
-        model, tok, max_batch_size=big_batch, max_context_length=8192
+        model, tok, max_batch_size=big_batch, max_context_length=8192,
+        decode_steps_per_call=16,  # throughput config: larger device chunks
     )
 
     def run_big(n_steps: int):

@@ -39,6 +39,39 @@ from .loader import Model
 logger = logging.getLogger(__name__)
 
 
+def _hot_bucket(need: int, capacity: int) -> int:
+    """Geometric (doubling) KV hot-window bucket: bounds jit variants to
+    log2(capacity/256) while keeping attention reads proportional to the
+    longest LIVE sequence instead of the slab capacity (a 32k-capacity slab
+    serving 1k-token traffic otherwise reads 32x too much KV per step)."""
+    s = 256
+    while s < need:
+        s *= 2
+    return min(s, capacity)
+
+
+def _slice_cache(cache, s_hot: int):
+    """View of the first ``s_hot`` KV positions (dim 2 of every slab field)."""
+    updates = {}
+    for f in dataclasses.fields(cache):
+        if f.name == "lengths":
+            continue
+        updates[f.name] = getattr(cache, f.name)[:, :, :s_hot]
+    return dataclasses.replace(cache, **updates)
+
+
+def _merge_cache(full, working, s_hot: int):
+    """Write the hot window back into the full slab."""
+    updates = {"lengths": working.lengths}
+    for f in dataclasses.fields(full):
+        if f.name == "lengths":
+            continue
+        updates[f.name] = (
+            getattr(full, f.name).at[:, :, :s_hot].set(getattr(working, f.name))
+        )
+    return dataclasses.replace(full, **updates)
+
+
 @dataclasses.dataclass
 class SlotRequest:
     """A request admitted to the slot engine. ``on_token(token, finish)`` is
@@ -79,6 +112,9 @@ class SlotEngine:
         # Host-side slot table.
         self._slot_req: List[Optional[SlotRequest]] = [None] * num_slots
         self._slot_generated: List[int] = [0] * num_slots
+        # Host mirror of each slot's KV length (prompt + appended decode
+        # tokens) — feeds the static hot-window bound for decode chunks.
+        self._slot_len: List[int] = [0] * num_slots
 
         self.metrics = {
             "decode_tokens_total": 0,
@@ -158,7 +194,13 @@ class SlotEngine:
             temps, top_ps, keys, eos_arr, token_counts,
             presence, frequency, repetition, n_steps,
             sampler_mode="topp",
+            s_hot=None,
         ):
+            full_cache = None
+            if s_hot is not None and s_hot < cache.capacity:
+                full_cache = cache
+                cache = _slice_cache(cache, s_hot)
+
             def step(carry, _):
                 cache, tok, active, counts, keys, tok_counts = carry
                 logits, cache2 = apply_fn(params, tok[:, None], cache)
@@ -199,13 +241,15 @@ class SlotEngine:
                 length=n_steps,
             )
             cache, tok, active, counts, keys, token_counts = carry
+            if full_cache is not None:
+                cache = _merge_cache(full_cache, cache, s_hot)
             return toks, lps, tok, active, counts, keys, cache, token_counts
 
         self._prefill_one = jax.jit(prefill_one, donate_argnums=(3,))
         self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
         self._decode_chunk = jax.jit(
             decode_chunk,
-            static_argnames=("n_steps", "sampler_mode"),
+            static_argnames=("n_steps", "sampler_mode", "s_hot"),
             donate_argnums=(1,),
         )
 
@@ -250,11 +294,19 @@ class SlotEngine:
             slot = free[0]
             ids = list(req.prompt_tokens)[- (self.capacity - req.params.max_tokens - 1):]
             t_pad = _bucket_len(len(ids))
+            # Scratch sized to the prompt bucket, not the slab capacity —
+            # prefill attention reads scale with the prompt, not the slab.
+            # Must hold all t_pad written rows and never exceed the slab
+            # (insert_slot copies the scratch row into it).
+            scratch_cap = min(
+                self.capacity,
+                max(_hot_bucket(len(ids), self.capacity), t_pad),
+            )
+            t_pad = min(t_pad, scratch_cap)
             tokens = np.zeros((1, t_pad), dtype=np.int32)
             tokens[0, : len(ids)] = ids
-
             scratch = self._pool.acquire(
-                self.model.num_layers, 1, self.capacity,
+                self.model.num_layers, 1, scratch_cap,
                 self.model.n_kv_heads(), self.model.head_dim(),
                 kv_bits=self.kv_bits,
             )
@@ -281,6 +333,7 @@ class SlotEngine:
             # Update host slot table + device vectors.
             self._slot_req[slot] = req
             self._slot_generated[slot] = 1
+            self._slot_len[slot] = len(ids)
             eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
             finish = None
             if first_tok in eos_ids:
@@ -349,6 +402,17 @@ class SlotEngine:
             else:
                 sampler_mode = "topp"
 
+            # Static KV hot window: attention reads only the first s_hot slab
+            # positions this chunk (longest live sequence + chunk growth).
+            live_len = [
+                self._slot_len[i]
+                for i, r in enumerate(self._slot_req)
+                if r is not None
+            ]
+            s_hot = _hot_bucket(
+                max(live_len) + self.chunk + 1, self.capacity
+            )
+
             t0 = time.perf_counter()
             (
                 toks, lps, self._last_tokens, self._active, self._counts,
@@ -370,6 +434,7 @@ class SlotEngine:
                 self._repetition,
                 self.chunk,
                 sampler_mode,
+                s_hot,
             )
             toks_host = np.asarray(jax.device_get(toks))  # (S, B)
             dt = time.perf_counter() - t0
