@@ -166,3 +166,42 @@ def common_prefix_length(rows: List[List[int]]) -> int:
         if lcp == 0:
             return 0
     return lcp
+
+
+# --------------------------------------------------------------- hot window
+
+
+def hot_bucket(need: int, capacity: int) -> int:
+    """Geometric (doubling) KV hot-window bucket: bounds jit variants to
+    log2(capacity/256) while keeping attention reads proportional to the
+    longest live sequence instead of the slab capacity."""
+    s = 256
+    while s < need:
+        s *= 2
+    return min(s, capacity)
+
+
+def slice_cache(cache, s_hot: int):
+    """View of the first ``s_hot`` KV positions (dim 2 of every slab field)."""
+    import dataclasses
+
+    updates = {}
+    for f in dataclasses.fields(cache):
+        if f.name == "lengths":
+            continue
+        updates[f.name] = getattr(cache, f.name)[:, :, :s_hot]
+    return dataclasses.replace(cache, **updates)
+
+
+def merge_cache(full, working, s_hot: int):
+    """Write the hot window back into the full slab."""
+    import dataclasses
+
+    updates = {"lengths": working.lengths}
+    for f in dataclasses.fields(full):
+        if f.name == "lengths":
+            continue
+        updates[f.name] = (
+            getattr(full, f.name).at[:, :, :s_hot].set(getattr(working, f.name))
+        )
+    return dataclasses.replace(full, **updates)

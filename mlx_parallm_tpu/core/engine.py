@@ -165,14 +165,23 @@ class DecodeEngine:
             frequency=None,
             repetition=None,
             sampler_mode="topp",
+            s_hot=None,
         ):
             """Run ``n_steps`` decode steps entirely on device (lax.scan).
 
             Device-side EOS/length tracking removes the per-token host round
             trips of the reference's Python decode loop (reference
             utils.py:422-427 steps the model once per host iteration); the
-            host drains one chunk of tokens per dispatch.
+            host drains one chunk of tokens per dispatch. ``s_hot`` (static)
+            bounds attention KV reads to the populated front of the slab.
             """
+            from .cache import merge_cache as _merge_cache
+            from .cache import slice_cache as _slice_cache
+
+            full_cache = None
+            if s_hot is not None and s_hot < cache.capacity:
+                full_cache = cache
+                cache = _slice_cache(cache, s_hot)
 
             def step(carry, _):
                 cache, tok, active, counts, key, tok_counts = carry
@@ -215,13 +224,15 @@ class DecodeEngine:
                 length=n_steps,
             )
             cache, tok, active, counts, key, token_counts = carry
+            if full_cache is not None:
+                cache = _merge_cache(full_cache, cache, s_hot)
             return toks, lps, tok, active, counts, key, cache, token_counts
 
         # Donating the cache lets XLA update the KV slab in place.
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
         self._decode_chunk = jax.jit(
             decode_chunk,
-            static_argnames=("n_steps", "sampler_mode"),
+            static_argnames=("n_steps", "sampler_mode", "s_hot"),
             donate_argnums=(1,),
         )
 
@@ -457,7 +468,21 @@ class DecodeEngine:
 
         key_dev = key
 
+        from .cache import hot_bucket
+
         def dispatch(cache, tok_dev, active_dev, counts_dev, key_dev, tc_dev):
+            # Static KV hot window. The speculative lookahead means one chunk
+            # may already be in flight when the next is dispatched, so cover
+            # two chunks of growth beyond the last host-known lengths.
+            max_known = max(
+                (
+                    lengths_list[i] + n_generated[i]
+                    for i in range(b)
+                    if finish[i] is None
+                ),
+                default=1,
+            )
+            s_hot = hot_bucket(max_known + 2 * chunk + 1, capacity)
             return self._decode_chunk(
                 self.model.params,
                 cache,
@@ -476,6 +501,7 @@ class DecodeEngine:
                 frequency_dev,
                 repetition_dev,
                 sampler_mode,
+                s_hot,
             )
 
         pending = None

@@ -39,37 +39,9 @@ from .loader import Model
 logger = logging.getLogger(__name__)
 
 
-def _hot_bucket(need: int, capacity: int) -> int:
-    """Geometric (doubling) KV hot-window bucket: bounds jit variants to
-    log2(capacity/256) while keeping attention reads proportional to the
-    longest LIVE sequence instead of the slab capacity (a 32k-capacity slab
-    serving 1k-token traffic otherwise reads 32x too much KV per step)."""
-    s = 256
-    while s < need:
-        s *= 2
-    return min(s, capacity)
-
-
-def _slice_cache(cache, s_hot: int):
-    """View of the first ``s_hot`` KV positions (dim 2 of every slab field)."""
-    updates = {}
-    for f in dataclasses.fields(cache):
-        if f.name == "lengths":
-            continue
-        updates[f.name] = getattr(cache, f.name)[:, :, :s_hot]
-    return dataclasses.replace(cache, **updates)
-
-
-def _merge_cache(full, working, s_hot: int):
-    """Write the hot window back into the full slab."""
-    updates = {"lengths": working.lengths}
-    for f in dataclasses.fields(full):
-        if f.name == "lengths":
-            continue
-        updates[f.name] = (
-            getattr(full, f.name).at[:, :, :s_hot].set(getattr(working, f.name))
-        )
-    return dataclasses.replace(full, **updates)
+from .cache import hot_bucket as _hot_bucket  # noqa: E402
+from .cache import merge_cache as _merge_cache  # noqa: E402
+from .cache import slice_cache as _slice_cache  # noqa: E402
 
 
 @dataclasses.dataclass
