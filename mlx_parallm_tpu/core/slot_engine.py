@@ -421,6 +421,12 @@ class SlotEngine:
                     if tid < 0:
                         continue
                     self._slot_generated[slot] += 1
+                    # Each emitted token appended one KV position for this
+                    # slot; keep the host length mirror in sync so the next
+                    # chunk's hot-window bound (s_hot) covers the live KV.
+                    # (Stale lengths silently dropped KV writes once
+                    # prompt+generated crossed the admission-time bucket.)
+                    self._slot_len[slot] += 1
                     n_emitted += 1
                     finish = None
                     if tid in eos_ids:

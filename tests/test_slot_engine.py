@@ -91,6 +91,67 @@ def test_concurrent_admission(slot_setup):
     assert results == solos
 
 
+def test_generation_across_hot_window_bucket(tiny_model_dir):
+    """Regression: a sequence whose prompt+generated length crosses the
+    first 256-position hot-window bucket must keep writing KV (the bug was
+    a stale admission-time ``_slot_len`` that froze ``s_hot`` at the first
+    bucket, silently zeroing all later KV writes) and must match the
+    DecodeEngine token-for-token."""
+    import numpy as np
+    import jax
+
+    model, tok = loader.load(tiny_model_dir)
+
+    class _NoEos:
+        """Tokenizer shim that disables EOS so the run is forced across the
+        bucket boundary deterministically."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.eos_token_ids = set()
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    no_eos = _NoEos(tok)
+    base = tok.encode("The quick brown fox jumps over the lazy dog. ")
+    ids = (base * 20)[:200]  # prompt 200 tokens
+    max_tokens = 150  # final length 350 > 256 (first bucket)
+
+    engine = SlotEngine(
+        model, no_eos, num_slots=2, max_context_length=1024,
+        decode_steps_per_call=8,
+    )
+    engine.start()
+    try:
+        out = _run_request(engine, ids, max_tokens, timeout=300.0)
+        assert out["finish"] == "length"
+        assert len(out["tokens"]) == max_tokens
+
+        # The slab must hold real (nonzero) K values past the first bucket.
+        final_len = int(jax.device_get(engine._cache.lengths)[0])
+        assert final_len == len(ids) + max_tokens - 1  # last token's KV unwritten
+        k = np.asarray(
+            jax.device_get(engine._cache.k[:, 0, 256:final_len]),
+            dtype=np.float32,
+        )
+        mags = np.abs(k).max(axis=(0, 2, 3))  # per-position max |K|
+        assert (mags > 0).all(), (
+            f"zeroed KV positions past bucket: {np.where(mags == 0)[0] + 256}"
+        )
+    finally:
+        engine.stop()
+
+    ref_engine = DecodeEngine(model, no_eos, disable_prefix_cache=True)
+    ref = []
+    for step in ref_engine.decode_batch(
+        [ids], [SamplingParams(temperature=0.0, max_tokens=max_tokens)]
+    ):
+        if step.tokens[0] is not None and step.finished[0] != "stop":
+            ref.append(step.tokens[0])
+    assert out["tokens"] == ref
+
+
 def test_more_requests_than_slots(slot_setup):
     """Queueing beyond slot capacity drains correctly."""
     model, tok, engine = slot_setup
