@@ -140,7 +140,12 @@ def load_model(
     dtype=jnp.bfloat16,
     mirror_int8: bool = True,
     shardings: Optional[Dict[str, Any]] = None,
+    n_shards: int = 1,
 ) -> Model:
+    """``n_shards`` is the intended tensor-parallel degree: the tiled
+    fused-kernel layout is chosen so its tile axis divides evenly across
+    ``tp`` shards (otherwise ``shard_params`` would have to replicate the
+    largest weights on every chip)."""
     config = load_config(model_path)
     model_type = config.get("model_type", "llama")
     module = model_registry.get_model_module(model_type)
@@ -180,7 +185,9 @@ def load_model(
                     n, kw_m = arr.shape
                     k = kw_m * (32 // bits)
                     probe = jnp.zeros((1, k), jnp.bfloat16)
-                    nt = quant.choose_n_tile(k, n, bits)
+                    nt = quant.choose_n_tile(
+                        k, n, bits, n_shards=n_shards, group_size=gs
+                    )
                     if nt is not None:
                         wk = quant.tile_kernel(
                             quant.kernel_pack(arr, gs, bits), nt
@@ -196,7 +203,8 @@ def load_model(
     nested = P.unflatten(flat)
     if qz and mirror_int8 and jax.default_backend() == "tpu":
         _fuse_layer_projections(
-            nested, int(qz.get("group_size", 64)), int(qz.get("bits", 4))
+            nested, int(qz.get("group_size", 64)), int(qz.get("bits", 4)),
+            n_shards=n_shards,
         )
     model = Model(args=args, params=nested, module=module, config=config, model_path=model_path)
     logger.info(
@@ -209,7 +217,9 @@ def load_model(
     return model
 
 
-def _fuse_layer_projections(nested: Dict[str, Any], gs: int, bits: int) -> None:
+def _fuse_layer_projections(
+    nested: Dict[str, Any], gs: int, bits: int, n_shards: int = 1
+) -> None:
     """Fuse q/k/v and gate/up fused-kernel weights per layer (one Pallas
     launch instead of three/two). The fused dict carries wk/scales/biases;
     the original per-projection dicts keep their packed weights (checkpoint
@@ -235,7 +245,9 @@ def _fuse_layer_projections(nested: Dict[str, Any], gs: int, bits: int) -> None:
         biases = jnp.concatenate([p["biases"] for p in parts], axis=0)
         k = wk2.shape[0] * (32 // bits)
         n_total = wk2.shape[1]
-        nt = quant.choose_n_tile(k, n_total, bits)
+        nt = quant.choose_n_tile(
+            k, n_total, bits, n_shards=n_shards, group_size=gs
+        )
         if nt is None:
             return
         wk = quant.tile_kernel(wk2, nt)
@@ -259,11 +271,14 @@ def load(
     adapter_path: Optional[str] = None,
     dtype=jnp.bfloat16,
     mirror_int8: bool = True,
+    n_shards: int = 1,
 ) -> Tuple[Model, TokenizerWrapper]:
     """Load model + tokenizer, optionally applying a LoRA adapter
     (parity: reference utils.py:711-747)."""
     model_path = get_model_path(path_or_repo)
-    model = load_model(model_path, dtype=dtype, mirror_int8=mirror_int8)
+    model = load_model(
+        model_path, dtype=dtype, mirror_int8=mirror_int8, n_shards=n_shards
+    )
     tokenizer = load_tokenizer(str(model_path))
     if adapter_path:
         from ..rl_training import weight_updater

@@ -180,16 +180,29 @@ def kernel_pack(
 _N_TILE_CANDIDATES = (2048, 1024, 512, 256)
 
 
-def choose_n_tile(k: int, n: int, bits: int, n_shards: int = 1):
-    """Largest N-tile that (a) divides ``n`` (per shard when ``n_shards``>1)
-    and (b) keeps one double-buffered weight block within VMEM. Returns None
-    when no candidate fits (caller falls back to a non-Pallas path)."""
+def choose_n_tile(
+    k: int, n: int, bits: int, n_shards: int = 1, group_size: int = 64
+):
+    """Largest N-tile that (a) divides ``n`` with a tile count divisible by
+    ``n_shards`` (so TP sharding along the tile axis stays even) and (b)
+    passes the SAME feasibility gate the kernel applies at dispatch
+    (``qmm_pallas._kw_tile``). Using the kernel's own model here means a
+    chosen layout is never rejected later by ``qmm_pallas.supported`` (which
+    would silently demote the layer to the unpacked-int8 fallback). Returns
+    None when no candidate fits."""
+    from . import qmm_pallas
+
     kw = k * bits // 32
-    kw_tile = min(kw, 512)
+    if k % group_size != 0 or kw % 8 != 0:
+        return None
+    g = k // group_size
+    rows = k // 2 if bits == 4 else k
+    if rows % g != 0:
+        return None
     for nt in _N_TILE_CANDIDATES:
         if n % nt != 0 or (n // nt) % n_shards != 0:
             continue
-        if kw_tile * nt * 4 * 2 > 10 * 2**20:  # double-buffered block budget
+        if qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits) <= 0:
             continue
         return nt
     return None

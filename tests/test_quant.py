@@ -102,3 +102,18 @@ def test_choose_n_tile_properties():
     assert quant.choose_n_tile(4096, 100, 4) is None  # below lane floor
     # Shard-aware: N/nt must stay divisible by n_shards.
     assert quant.choose_n_tile(4096, 28672, 4, n_shards=8) == 512  # 28672/512=56
+    # tp=4: NT=2048 gives T=14 (not divisible) so a smaller tile is chosen
+    # instead of silently replicating the layer across shards.
+    assert quant.choose_n_tile(4096, 28672, 4, n_shards=4) == 1024  # T=28
+    # Any chosen tile must pass the kernel's own feasibility gate (the chooser
+    # uses qmm_pallas._kw_tile, so chosen layouts are never rejected later).
+    from mlx_parallm_tpu.ops import qmm_pallas
+
+    for k, n, bits, gs in [(4096, 28672, 4, 64), (2048, 8192, 8, 32),
+                           (4096, 32000, 4, 64), (11008, 4096, 4, 64)]:
+        nt = quant.choose_n_tile(k, n, bits, group_size=gs)
+        if nt is not None:
+            kw = k * bits // 32
+            assert qmm_pallas._kw_tile(
+                kw, k // gs, qmm_pallas.M_TILE, nt, bits
+            ) > 0
