@@ -37,6 +37,28 @@ def build_parser() -> argparse.ArgumentParser:
         default=16,
         help="KV cache precision: 8 = INT8-quantized KV (half memory)",
     )
+    p.add_argument(
+        "--tp",
+        type=int,
+        default=None,
+        help="Tensor-parallel degree: shard weights + KV heads over this "
+        "many chips (default: all devices when --dp/--coordinator given, "
+        "else 1)",
+    )
+    p.add_argument(
+        "--dp",
+        type=int,
+        default=None,
+        help="Data-parallel mesh axis (KV batch sharding)",
+    )
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        help="Multi-host coordinator address host:port "
+        "(jax.distributed); host 0 serves HTTP, others follow",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -54,6 +76,11 @@ def args_from_namespace(ns: argparse.Namespace) -> ServerArgs:
         diverse_mode=ns.diverse_mode,
         max_context_length=ns.max_context_length,
         kv_bits=ns.kv_bits,
+        tp=ns.tp,
+        dp=ns.dp,
+        coordinator=ns.coordinator,
+        num_processes=ns.num_processes,
+        process_id=ns.process_id,
     )
 
 

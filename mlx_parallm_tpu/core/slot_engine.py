@@ -15,6 +15,13 @@ limitation). This engine is the TPU-native fix (SURVEY §7.2.5, §7.4.2):
 
 The engine owns a driver thread; requests are submitted from any thread and
 stream their tokens through per-request callbacks.
+
+Multi-chip / multi-host: pass (or set on the model) a ``jax.sharding.Mesh``
+and the KV slab + weights run tensor-sharded; under a multi-process runtime
+(``jax.distributed``) host 0 drives admissions and broadcasts each driver
+iteration's command (``parallel.distributed.HostSync``) while follower
+processes replay the identical jitted calls — the cross-host continuous
+batching contract of SURVEY §5/§7.4.4 that the reference lacks entirely.
 """
 
 from __future__ import annotations
@@ -68,13 +75,20 @@ class SlotEngine:
         max_context_length: int = 2048,
         decode_steps_per_call: int = 8,
         kv_bits: int = 16,
+        mesh=None,
     ):
+        from ..parallel.distributed import HostSync
+
         self.model = model
         self.tokenizer = tokenizer
         self.num_slots = num_slots
         self.capacity = max_context_length
         self.chunk = decode_steps_per_call
         self.kv_bits = kv_bits
+        # Device mesh for TP/DP-sharded weights + KV (None = single chip).
+        self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
+        # Cross-process command sync (identity when single-process).
+        self._sync = HostSync(num_slots)
 
         self._submit_q: "queue.Queue[SlotRequest]" = queue.Queue()
         self._stop = threading.Event()
@@ -87,6 +101,11 @@ class SlotEngine:
         # Host mirror of each slot's KV length (prompt + appended decode
         # tokens) — feeds the static hot-window bound for decode chunks.
         self._slot_len: List[int] = [0] * num_slots
+        # Host-side cancellations (stop sequence / client disconnect) are
+        # recorded here and applied at the NEXT driver iteration on every
+        # process — a host-0-only decision must not touch device state
+        # directly or multi-host replicas would diverge.
+        self._pending_cancel: List[bool] = [False] * num_slots
 
         self.metrics = {
             "decode_tokens_total": 0,
@@ -112,6 +131,10 @@ class SlotEngine:
             self.model.head_dim(),
             kv_bits=self.kv_bits,
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_cache
+
+            self._cache = shard_cache(self._cache, self.mesh)
         b = self.num_slots
         self._active = jnp.zeros((b,), dtype=bool)
         self._counts = jnp.zeros((b,), dtype=jnp.int32)
@@ -123,10 +146,10 @@ class SlotEngine:
         self._repetition = jnp.ones((b,), dtype=jnp.float32)
         self._last_tokens = jnp.zeros((b,), dtype=jnp.int32)
         # Per-slot PRNG streams (per-request seeds stay deterministic no
-        # matter what else shares the batch).
-        self._keys = jnp.tile(
-            jax.random.PRNGKey(time.time_ns() % (2**31))[None, :], (b, 1)
-        )
+        # matter what else shares the batch). Constant init: every admitted
+        # slot overwrites its row, and multi-host replicas must hold
+        # identical values or the SPMD programs diverge.
+        self._keys = jnp.tile(jax.random.PRNGKey(0)[None, :], (b, 1))
         vocab = self.model.args.vocab_size
         self._token_counts = jnp.zeros((b, vocab), dtype=jnp.int32)
         eos = sorted(getattr(self.tokenizer, "eos_token_ids", set()) or set())
@@ -137,6 +160,19 @@ class SlotEngine:
     def _build_jit(self):
         apply_fn = self.model.apply_fn()
         num_slots = self.num_slots
+        mesh = self.mesh
+
+        def replicated(x):
+            # Host code reads these (sampled tokens, last-logits) with
+            # device_get; pin them fully-replicated so every process in a
+            # multi-host run can materialize them locally.
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec())
+            )
 
         def prefill_one(params, tokens, length, cache1):
             """Single-request prefill into a 1-row scratch cache."""
@@ -145,7 +181,7 @@ class SlotEngine:
             last = jnp.take_along_axis(
                 logits, (length - 1)[:, None, None], axis=1
             )[:, 0]
-            return last, cache1
+            return replicated(last), cache1
 
         def insert_slot(cache, cache1, slot, length, slot_lengths):
             """Copy the scratch row into slot ``slot`` of the persistent slab."""
@@ -215,7 +251,11 @@ class SlotEngine:
             cache, tok, active, counts, keys, token_counts = carry
             if full_cache is not None:
                 cache = _merge_cache(full_cache, cache, s_hot)
-            return toks, lps, tok, active, counts, keys, cache, token_counts
+            return (
+                replicated(toks), replicated(lps), replicated(tok),
+                replicated(active), replicated(counts), keys, cache,
+                token_counts,
+            )
 
         self._prefill_one = jax.jit(prefill_one, donate_argnums=(3,))
         self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
@@ -241,22 +281,44 @@ class SlotEngine:
             self._thread.join(timeout=30)
             self._thread = None
 
+    def run_follower(self) -> None:
+        """Blocking driver loop for follower processes in a multi-host run:
+        replays host 0's broadcast commands (admissions + decode chunks)
+        until an OP_STOP arrives. Host 0 uses :meth:`start` instead."""
+        assert not self._sync.primary, "host 0 drives via start()"
+        self._run()
+
     def submit(self, req: SlotRequest) -> None:
+        assert self._sync.primary, (
+            "requests are submitted on host 0 only; followers replay the "
+            "broadcast admission schedule"
+        )
         self._submit_q.put(req)
         self._wake.set()
 
     @property
     def free_slots(self) -> int:
-        return sum(1 for r in self._slot_req if r is None)
+        return sum(
+            1
+            for i, r in enumerate(self._slot_req)
+            if r is None and not self._pending_cancel[i]
+        )
 
     # ---------------------------------------------------------------- driver
 
-    def _admit(self) -> bool:
-        """Prefill + insert queued requests into free slots. Returns True if
-        anything was admitted."""
-        admitted = False
+    def _drain_queue(self) -> List[dict]:
+        """Host-0 decisions: assign queued requests to free slots and fix
+        their RNG seeds. Returns the admission schedule (the part of the
+        driver iteration that must be broadcast to follower processes);
+        the matching SlotRequest callbacks are installed here."""
+        admissions: List[dict] = []
+        taken = set()
         while True:
-            free = [i for i, r in enumerate(self._slot_req) if r is None]
+            free = [
+                i
+                for i, r in enumerate(self._slot_req)
+                if r is None and not self._pending_cancel[i] and i not in taken
+            ]
             if not free:
                 break
             try:
@@ -264,104 +326,190 @@ class SlotEngine:
             except queue.Empty:
                 break
             slot = free[0]
-            ids = list(req.prompt_tokens)[- (self.capacity - req.params.max_tokens - 1):]
-            t_pad = _bucket_len(len(ids))
-            # Scratch sized to the prompt bucket, not the slab capacity —
-            # prefill attention reads scale with the prompt, not the slab.
-            # Must hold all t_pad written rows and never exceed the slab
-            # (insert_slot copies the scratch row into it).
-            scratch_cap = min(
-                self.capacity,
-                max(_hot_bucket(len(ids), self.capacity), t_pad),
-            )
-            t_pad = min(t_pad, scratch_cap)
-            tokens = np.zeros((1, t_pad), dtype=np.int32)
-            tokens[0, : len(ids)] = ids
-            scratch = self._pool.acquire(
-                self.model.num_layers, 1, scratch_cap,
-                self.model.n_kv_heads(), self.model.head_dim(),
-                kv_bits=self.kv_bits,
-            )
-            last_logits, scratch = self._prefill_one(
-                self.model.params,
-                jnp.asarray(tokens),
-                jnp.asarray([len(ids)], dtype=jnp.int32),
-                scratch,
-            )
-            # Per-request PRNG stream (honors params.seed).
+            taken.add(slot)
+            ids = list(req.prompt_tokens)[
+                -(self.capacity - req.params.max_tokens - 1):
+            ]
             seed = req.params.seed
             if seed is None:
                 seed = int.from_bytes(os.urandom(4), "little")
-            slot_key = jax.random.PRNGKey(seed)
-            slot_key, sub = jax.random.split(slot_key)
-            first, _lp = sampling.sample_tokens(
-                last_logits,
-                sub,
-                jnp.asarray([req.params.temperature], jnp.float32),
-                jnp.asarray([req.params.top_p], jnp.float32),
-            )
-            first_tok = int(jax.device_get(first)[0])
-
-            # Update host slot table + device vectors.
             self._slot_req[slot] = req
-            self._slot_generated[slot] = 1
-            self._slot_len[slot] = len(ids)
-            eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
-            finish = None
-            if first_tok in eos_ids:
-                finish = "stop"
-            elif req.params.max_tokens <= 1:
-                finish = "length"
-            keep = req.on_token(first_tok, finish)
-            if keep is False:
-                finish = finish or "stop"
+            admissions.append(
+                {
+                    "slot": slot,
+                    "tokens": ids,
+                    "seed": seed,
+                    "max_tokens": req.params.max_tokens,
+                    "temperature": req.params.temperature,
+                    "top_p": req.params.top_p,
+                    "presence": req.params.presence_penalty,
+                    "frequency": req.params.frequency_penalty,
+                    "repetition": req.params.repetition_penalty,
+                }
+            )
+        return admissions
 
-            new_lengths = self._cache.lengths.at[slot].set(len(ids))
-            self._cache = self._insert_slot(
-                self._cache,
-                scratch,
-                slot,
-                jnp.asarray([len(ids)], dtype=jnp.int32),
-                new_lengths,
+    def _admit_one(self, adm: dict) -> None:
+        """Prefill + insert one admission. Runs identically on every process
+        (all inputs come from the broadcast schedule); only host 0 has a
+        real callback installed."""
+        slot = adm["slot"]
+        ids = adm["tokens"]
+        req = self._slot_req[slot]
+        if req is None:
+            # Follower process: shadow request (no callback) carrying the
+            # params the drain loop needs for finish bookkeeping.
+            req = SlotRequest(
+                prompt_tokens=ids,
+                params=SamplingParams(
+                    temperature=adm["temperature"],
+                    top_p=adm["top_p"],
+                    max_tokens=adm["max_tokens"],
+                    presence_penalty=adm["presence"],
+                    frequency_penalty=adm["frequency"],
+                    repetition_penalty=adm["repetition"],
+                    seed=adm["seed"],
+                ),
+                on_token=None,
             )
-            slot_active = finish is None
-            self._active = self._active.at[slot].set(slot_active)
-            self._counts = self._counts.at[slot].set(1)
-            self._max_toks = self._max_toks.at[slot].set(req.params.max_tokens)
-            self._temps = self._temps.at[slot].set(req.params.temperature)
-            self._top_ps = self._top_ps.at[slot].set(req.params.top_p)
-            self._presence = self._presence.at[slot].set(
-                req.params.presence_penalty
-            )
-            self._frequency = self._frequency.at[slot].set(
-                req.params.frequency_penalty
-            )
-            self._repetition = self._repetition.at[slot].set(
-                req.params.repetition_penalty
-            )
-            self._keys = self._keys.at[slot].set(slot_key)
-            self._token_counts = self._token_counts.at[slot].set(0)
-            self._token_counts = self._token_counts.at[slot, first_tok].set(1)
-            self._last_tokens = self._last_tokens.at[slot].set(first_tok)
-            if not slot_active:
-                self._slot_req[slot] = None
-            self.metrics["admitted_total"] += 1
-            admitted = True
-        return admitted
+            self._slot_req[slot] = req
+        t_pad = _bucket_len(len(ids))
+        # Scratch sized to the prompt bucket, not the slab capacity —
+        # prefill attention reads scale with the prompt, not the slab.
+        # Must hold all t_pad written rows and never exceed the slab
+        # (insert_slot copies the scratch row into it).
+        scratch_cap = min(
+            self.capacity,
+            max(_hot_bucket(len(ids), self.capacity), t_pad),
+        )
+        t_pad = min(t_pad, scratch_cap)
+        tokens = np.zeros((1, t_pad), dtype=np.int32)
+        tokens[0, : len(ids)] = ids
+        scratch = self._pool.acquire(
+            self.model.num_layers, 1, scratch_cap,
+            self.model.n_kv_heads(), self.model.head_dim(),
+            kv_bits=self.kv_bits,
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_cache
+
+            scratch = shard_cache(scratch, self.mesh)
+        last_logits, scratch = self._prefill_one(
+            self.model.params,
+            jnp.asarray(tokens),
+            jnp.asarray([len(ids)], dtype=jnp.int32),
+            scratch,
+        )
+        # Per-request PRNG stream (seed fixed by host 0's schedule).
+        slot_key = jax.random.PRNGKey(adm["seed"])
+        slot_key, sub = jax.random.split(slot_key)
+        first, _lp = sampling.sample_tokens(
+            last_logits,
+            sub,
+            jnp.asarray([adm["temperature"]], jnp.float32),
+            jnp.asarray([adm["top_p"]], jnp.float32),
+        )
+        first_tok = int(jax.device_get(first)[0])
+
+        # Update host slot table + device vectors.
+        self._slot_generated[slot] = 1
+        self._slot_len[slot] = len(ids)
+        eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
+        finish = None
+        if first_tok in eos_ids:
+            finish = "stop"
+        elif adm["max_tokens"] <= 1:
+            finish = "length"
+        if req.on_token is not None:
+            keep = req.on_token(first_tok, finish)
+            if keep is False and finish is None:
+                # Host-side cancel at admission: applied (on every process)
+                # at the next driver iteration.
+                self._pending_cancel[slot] = True
+
+        new_lengths = self._cache.lengths.at[slot].set(len(ids))
+        self._cache = self._insert_slot(
+            self._cache,
+            scratch,
+            slot,
+            jnp.asarray([len(ids)], dtype=jnp.int32),
+            new_lengths,
+        )
+        slot_active = finish is None
+        self._active = self._active.at[slot].set(slot_active)
+        self._counts = self._counts.at[slot].set(1)
+        self._max_toks = self._max_toks.at[slot].set(adm["max_tokens"])
+        self._temps = self._temps.at[slot].set(adm["temperature"])
+        self._top_ps = self._top_ps.at[slot].set(adm["top_p"])
+        self._presence = self._presence.at[slot].set(adm["presence"])
+        self._frequency = self._frequency.at[slot].set(adm["frequency"])
+        self._repetition = self._repetition.at[slot].set(adm["repetition"])
+        self._keys = self._keys.at[slot].set(slot_key)
+        self._token_counts = self._token_counts.at[slot].set(0)
+        self._token_counts = self._token_counts.at[slot, first_tok].set(1)
+        self._last_tokens = self._last_tokens.at[slot].set(first_tok)
+        if not slot_active:
+            self._slot_req[slot] = None
+            self._pending_cancel[slot] = False
+        self.metrics["admitted_total"] += 1
 
     def _run(self):
         logger.info(
-            "SlotEngine started: %d slots, capacity %d",
+            "SlotEngine started: %d slots, capacity %d, mesh=%s, multi=%s",
             self.num_slots,
             self.capacity,
+            None if self.mesh is None else dict(self.mesh.shape),
+            self._sync.multi,
         )
+        from ..parallel.distributed import HostSync
+
         eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
-        while not self._stop.is_set():
-            self._admit()
-            if not any(r is not None for r in self._slot_req):
-                # Idle: wait for work.
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+        sync = self._sync
+        # Multi-process: followers block inside the broadcast until host 0's
+        # next command, so the idle heartbeat only needs to beat collective
+        # timeouts, not poll fast.
+        idle_wait = 5.0 if sync.multi else 0.05
+        while True:
+            if sync.primary:
+                if self._stop.is_set():
+                    op, cancels, admissions = (
+                        HostSync.OP_STOP, [False] * self.num_slots, [],
+                    )
+                else:
+                    cancels = list(self._pending_cancel)
+                    admissions = self._drain_queue()
+                    occupied = any(r is not None for r in self._slot_req)
+                    if not (admissions or occupied or any(cancels)):
+                        # Idle: wait for work, then re-check once.
+                        self._wake.wait(timeout=idle_wait)
+                        self._wake.clear()
+                        cancels = list(self._pending_cancel)
+                        admissions = self._drain_queue()
+                        occupied = any(
+                            r is not None for r in self._slot_req
+                        )
+                    op = (
+                        HostSync.OP_WORK
+                        if (admissions or occupied or any(cancels))
+                        else HostSync.OP_IDLE
+                    )
+            else:
+                op, cancels, admissions = HostSync.OP_IDLE, None, None
+            op, cancels, admissions = sync.exchange(op, cancels, admissions)
+            if op == HostSync.OP_STOP:
+                break
+            # Apply host-side cancels decided last iteration — on every
+            # process, so device state stays SPMD-consistent.
+            for slot, c in enumerate(cancels):
+                if c:
+                    self._active = self._active.at[slot].set(False)
+                    self._slot_req[slot] = None
+                    self._pending_cancel[slot] = False
+            for adm in admissions:
+                self._admit_one(adm)
+            if op == HostSync.OP_IDLE or not any(
+                r is not None for r in self._slot_req
+            ):
                 continue
 
             # Static sampler fast path over the OCCUPIED slots (free slots
@@ -426,6 +574,10 @@ class SlotEngine:
                     # chunk's hot-window bound (s_hot) covers the live KV.
                     # (Stale lengths silently dropped KV writes once
                     # prompt+generated crossed the admission-time bucket.)
+                    # Cancelled-but-not-yet-applied slots keep counting:
+                    # follower processes don't learn of the cancel until the
+                    # next broadcast, and their length mirrors (which feed
+                    # the static s_hot bound) must stay identical.
                     self._slot_len[slot] += 1
                     n_emitted += 1
                     finish = None
@@ -433,13 +585,16 @@ class SlotEngine:
                         finish = "stop"
                     elif self._slot_generated[slot] >= req.params.max_tokens:
                         finish = "length"
-                    keep = req.on_token(tid, finish)
-                    if finish or keep is False:
-                        self._slot_req[slot] = None
+                    if req.on_token is not None and not self._pending_cancel[slot]:
+                        keep = req.on_token(tid, finish)
                         if keep is False and not finish:
-                            # Host-side cancel (stop sequence / disconnect):
-                            # deactivate the device slot immediately.
-                            self._active = self._active.at[slot].set(False)
+                            # Host-side cancel (stop sequence / client
+                            # disconnect): recorded now, applied on every
+                            # process at the next driver iteration.
+                            self._pending_cancel[slot] = True
+                    if finish:
+                        self._slot_req[slot] = None
+                        self._pending_cancel[slot] = False
 
             self.metrics["decode_tokens_total"] += n_emitted
             self.metrics["decode_time_total"] += dt

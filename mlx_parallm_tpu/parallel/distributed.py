@@ -79,6 +79,100 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+class HostSync:
+    """Per-iteration driver-command broadcast for cross-host continuous
+    serving (SURVEY §5 "Distributed communication backend", §7.4.4).
+
+    Host 0 owns the HTTP front end and the submit queue; every slot-engine
+    driver iteration it serializes its decisions — admissions (slot, prompt
+    tokens, sampling params, seed), host-side cancels, and an op code — and
+    broadcasts them so every process replays the identical sequence of
+    jitted calls on the globally-sharded weights/KV. All remaining slot
+    bookkeeping (EOS, max_tokens, hot-window bounds, slot freeing) is
+    derived from replicated device outputs, so it stays consistent without
+    further traffic. Single-process mode short-circuits to identity.
+
+    Wire format: one int64 header ``[op, payload_len, cancel_mask...]``
+    followed (when payload_len > 0) by one float64 payload encoding the
+    admission list. Token ids and seeds are exact in float64 (< 2**53).
+    """
+
+    OP_IDLE = 0
+    OP_WORK = 1
+    OP_STOP = 2
+
+    _ADM_FIELDS = (
+        "slot", "seed", "max_tokens", "temperature", "top_p",
+        "presence", "frequency", "repetition",
+    )
+
+    def __init__(self, num_slots: int):
+        import jax
+
+        self.num_slots = num_slots
+        self.multi = jax.process_count() > 1
+        self.primary = jax.process_index() == 0
+
+    # ------------------------------------------------------------- encoding
+
+    def _encode(self, admissions) -> np.ndarray:
+        out = [float(len(admissions))]
+        for adm in admissions:
+            out.extend(float(adm[f]) for f in self._ADM_FIELDS)
+            out.append(float(len(adm["tokens"])))
+            out.extend(float(t) for t in adm["tokens"])
+        return np.asarray(out, dtype=np.float64)
+
+    def _decode(self, buf: np.ndarray):
+        admissions = []
+        i = 1
+        for _ in range(int(buf[0])):
+            adm = {}
+            for f in self._ADM_FIELDS:
+                adm[f] = buf[i]
+                i += 1
+            for f in ("slot", "seed", "max_tokens"):
+                adm[f] = int(adm[f])
+            n_tok = int(buf[i]); i += 1
+            adm["tokens"] = [int(t) for t in buf[i : i + n_tok]]
+            i += n_tok
+            admissions.append(adm)
+        return admissions
+
+    # ------------------------------------------------------------- exchange
+
+    def exchange(self, op, cancels, admissions):
+        """Primary passes its real (op, cancel_mask, admission_list); the
+        returned triple is identical on every process. Followers pass
+        placeholders (ignored)."""
+        if not self.multi:
+            return op, cancels, admissions
+        from jax.experimental import multihost_utils
+
+        if self.primary:
+            payload = self._encode(admissions)
+            header = np.zeros((2 + self.num_slots,), dtype=np.int64)
+            header[0] = op
+            header[1] = payload.shape[0] if len(admissions) else 0
+            header[2:] = np.asarray(cancels, dtype=np.int64)
+        else:
+            payload = None
+            header = np.zeros((2 + self.num_slots,), dtype=np.int64)
+        header = np.asarray(multihost_utils.broadcast_one_to_all(header))
+        op = int(header[0])
+        plen = int(header[1])
+        cancels = header[2:].astype(bool)
+        admissions = []
+        if plen > 0:
+            if payload is None:
+                payload = np.zeros((plen,), dtype=np.float64)
+            payload = np.asarray(
+                multihost_utils.broadcast_one_to_all(payload)
+            )
+            admissions = self._decode(payload)
+        return op, cancels, admissions
+
+
 def broadcast_from_host0(data: np.ndarray, mesh) -> np.ndarray:
     """Broadcast a small host-0 numpy array (e.g. the per-step admission
     schedule: token ids + slot indices) to all hosts.

@@ -112,15 +112,29 @@ def kv_cache_sharding(mesh: Mesh, batch: int, n_kv_heads: int) -> NamedSharding:
 
 
 def shard_cache(cache, mesh: Mesh):
-    from ..models.base import KVCache
+    """Shard any KV-slab dataclass (KVCache / QuantizedKVCache): 5D slabs
+    (L, B, S, H, D) put batch over dp + heads over tp, 4D per-head scale
+    planes (L, B, S, H) likewise, everything else replicated."""
+    import dataclasses as _dc
 
-    kv_sh = kv_cache_sharding(mesh, cache.batch_size, cache.k.shape[3])
+    n_kv_heads = cache.k.shape[3]
+    kv_sh = kv_cache_sharding(mesh, cache.batch_size, n_kv_heads)
+    dp_axis = "dp" if cache.batch_size % mesh.shape["dp"] == 0 else None
+    tp_axis = "tp" if n_kv_heads % mesh.shape["tp"] == 0 else None
+    scale_sh = NamedSharding(mesh, P(None, dp_axis, None, tp_axis))
     rep = NamedSharding(mesh, P())
-    return KVCache(
-        k=jax.device_put(cache.k, kv_sh),
-        v=jax.device_put(cache.v, kv_sh),
-        lengths=jax.device_put(cache.lengths, rep),
-    )
+    updates = {}
+    for f in _dc.fields(cache):
+        arr = getattr(cache, f.name)
+        if f.name == "lengths":
+            updates[f.name] = jax.device_put(arr, rep)
+        elif arr.ndim == 5:
+            updates[f.name] = jax.device_put(arr, kv_sh)
+        elif arr.ndim == 4:
+            updates[f.name] = jax.device_put(arr, scale_sh)
+        else:
+            updates[f.name] = jax.device_put(arr, rep)
+    return _dc.replace(cache, **updates)
 
 
 def shard_model(model, mesh: Mesh) -> None:

@@ -80,6 +80,25 @@ class ServerArgs:
     diverse_mode: bool = False
     max_context_length: int = 32768
     kv_bits: int = 16
+    # --- distributed serving (north star; absent from the reference) ---
+    # tp/dp: tensor-/data-parallel mesh axes over the local (or global,
+    # when multi-process) devices. None/1 = single-chip.
+    tp: Optional[int] = None
+    dp: Optional[int] = None
+    # Multi-host runtime: host 0 serves HTTP + drives admissions; other
+    # processes replay the broadcast slot schedule (continuous scheduler).
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+    @property
+    def wants_mesh(self) -> bool:
+        return (
+            (self.tp or 0) > 1
+            or (self.dp or 0) > 1
+            or (self.num_processes or 0) > 1
+            or self.coordinator is not None
+        )
 
     @classmethod
     def from_env(cls) -> "ServerArgs":
@@ -105,6 +124,27 @@ class ServerArgs:
                 os.environ.get("MAX_CONTEXT_LENGTH", 32768)
             ),
             kv_bits=int(os.environ.get("KV_BITS", 16)),
+            tp=(
+                int(os.environ["MLX_PARALLM_TP"])
+                if "MLX_PARALLM_TP" in os.environ
+                else None
+            ),
+            dp=(
+                int(os.environ["MLX_PARALLM_DP"])
+                if "MLX_PARALLM_DP" in os.environ
+                else None
+            ),
+            coordinator=os.environ.get("MLX_PARALLM_COORDINATOR"),
+            num_processes=(
+                int(os.environ["MLX_PARALLM_NUM_PROCESSES"])
+                if "MLX_PARALLM_NUM_PROCESSES" in os.environ
+                else None
+            ),
+            process_id=(
+                int(os.environ["MLX_PARALLM_PROCESS_ID"])
+                if "MLX_PARALLM_PROCESS_ID" in os.environ
+                else None
+            ),
         )
 
 
@@ -289,7 +329,22 @@ async def startup_event(app: web.Application) -> None:
     app["streaming_semaphore"] = asyncio.Semaphore(args.max_concurrent_streams)
 
     def _load():
-        return loader.load(args.model_path, adapter_path=args.lora_path)
+        mesh = None
+        tp = 1
+        if args.wants_mesh:
+            from ..parallel import mesh as M
+
+            mesh = M.make_mesh(tp=args.tp, dp=args.dp)
+            tp = mesh.shape["tp"]
+            logger.info("Serving over mesh %s", dict(mesh.shape))
+        model, tokenizer = loader.load(
+            args.model_path, adapter_path=args.lora_path, n_shards=tp
+        )
+        if mesh is not None:
+            from ..parallel.mesh import shard_model
+
+            shard_model(model, mesh)
+        return model, tokenizer
 
     try:
         model, tokenizer = await loop.run_in_executor(None, _load)
@@ -1198,8 +1253,52 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
 # -------------------------------------------------------------------- main
 
 
+def run_follower(args: ServerArgs) -> None:
+    """Follower-process serving loop for multi-host runs: load + shard the
+    same model over the same global mesh, then replay host 0's broadcast
+    slot-engine commands. No HTTP surface — host 0 owns the front end
+    (SURVEY §5 'host 0 runs the HTTP front end ... all hosts execute the
+    same jitted program SPMD-style')."""
+    from ..core.slot_engine import SlotEngine
+    from ..parallel import mesh as M
+
+    if args.scheduler != "continuous":
+        logger.warning(
+            "multi-host serving uses the continuous scheduler; overriding "
+            "--scheduler %s", args.scheduler,
+        )
+    mesh = M.make_mesh(tp=args.tp, dp=args.dp)
+    model, tokenizer = loader.load(
+        args.model_path, adapter_path=args.lora_path,
+        n_shards=mesh.shape["tp"],
+    )
+    M.shard_model(model, mesh)
+    engine = SlotEngine(
+        model,
+        tokenizer,
+        num_slots=args.max_batch_size,
+        max_context_length=min(args.max_context_length, 4096),
+        kv_bits=args.kv_bits,
+        mesh=mesh,
+    )
+    logger.info("Follower process ready; replaying host-0 slot schedule")
+    engine.run_follower()
+    logger.info("Follower process exiting (OP_STOP received)")
+
+
 def run_server(args: ServerArgs) -> None:
     global current_server_args
     current_server_args = args
+
+    # Multi-host runtime: must be initialized before any device work.
+    from ..parallel import distributed
+
+    multi = distributed.initialize(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    if multi and not distributed.is_primary():
+        run_follower(args)
+        return
+
     app = create_app(args)
     web.run_app(app, host=args.host, port=args.port, print=None)
