@@ -62,11 +62,13 @@ class KVPool:
             return
         kv_bits = 8 if cache.k.dtype == jnp.int8 else 16
         dtype = jnp.bfloat16 if kv_bits == 8 else cache.k.dtype
+        # Key mirrors acquire(): (L, B, capacity, heads, dim) — the slab
+        # itself is laid out (L, B, H, S, D).
         key = (
             cache.k.shape[0],
             cache.k.shape[1],
-            cache.k.shape[2],
             cache.k.shape[3],
+            cache.k.shape[2],
             cache.k.shape[4],
             str(dtype),
             kv_bits,
@@ -87,6 +89,10 @@ class GlobalPrefixCache:
         self.capacity = capacity
         self.min_tokens = min_tokens
         self._d: "OrderedDict[tuple, dict]" = OrderedDict()
+        # Miss counters: single-sequence prefixes are only snapshotted on
+        # their SECOND sighting — a one-off prompt must not evict shared
+        # prefixes from the (HBM-resident) LRU.
+        self._miss_counts: "OrderedDict[tuple, int]" = OrderedDict()
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
@@ -104,7 +110,22 @@ class GlobalPrefixCache:
                 self.hits += 1
                 return self._d[key]
             self.misses += 1
+            self._miss_counts[key] = self._miss_counts.get(key, 0) + 1
+            self._miss_counts.move_to_end(key)
+            while len(self._miss_counts) > 64:
+                self._miss_counts.popitem(last=False)
             return None
+
+    def should_store(self, prefix_tokens: Tuple[int, ...], batch: int) -> bool:
+        """Shared (batch > 1) prefixes are always worth a snapshot; a
+        single-sequence prefix only after it has missed twice (i.e. the
+        prompt repeats)."""
+        if len(prefix_tokens) < self.min_tokens:
+            return False
+        if batch > 1:
+            return True
+        with self._lock:
+            return self._miss_counts.get(tuple(prefix_tokens), 0) >= 2
 
     def store(self, prefix_tokens: Tuple[int, ...], snapshot: dict) -> None:
         if len(prefix_tokens) < self.min_tokens:
@@ -122,18 +143,21 @@ class GlobalPrefixCache:
 
 
 def seed_cache_with_prefix(cache, snapshot: dict, length: int):
-    """Broadcast per-leaf (L, 1, P, ...) snapshots into every row of a batch
-    slab and set all row lengths to ``length``. Works for both float and
-    int8-quantized caches (snapshot holds whatever leaves the cache type has,
-    except ``lengths``)."""
+    """Broadcast per-leaf (L, 1, H, P, ...) snapshots into every row of a
+    batch slab and set all row lengths to ``length``. Works for both float
+    and int8-quantized caches (snapshot holds whatever leaves the cache type
+    has, except ``lengths``; the position axis is 3 in the (L, B, H, S[, D])
+    slab layout)."""
     import dataclasses as _dc
 
     b = cache.batch_size
     updates = {}
     for name, snap in snapshot.items():
         buf = getattr(cache, name)
-        updates[name] = buf.at[:, :, :length].set(
-            jnp.broadcast_to(snap, (snap.shape[0], b, length, *snap.shape[3:]))
+        updates[name] = buf.at[:, :, :, :length].set(
+            jnp.broadcast_to(
+                snap, (snap.shape[0], b, snap.shape[2], length, *snap.shape[4:])
+            )
         )
     updates["lengths"] = jnp.full_like(cache.lengths, length)
     return _dc.replace(cache, **updates)
@@ -148,7 +172,7 @@ def snapshot_prefix(cache, length: int) -> dict:
         if field.name == "lengths":
             continue
         buf = getattr(cache, field.name)
-        out[field.name] = jnp.array(buf[:, 0:1, :length])
+        out[field.name] = jnp.array(buf[:, 0:1, :, :length])
     return out
 
 
@@ -182,14 +206,15 @@ def hot_bucket(need: int, capacity: int) -> int:
 
 
 def slice_cache(cache, s_hot: int):
-    """View of the first ``s_hot`` KV positions (dim 2 of every slab field)."""
+    """View of the first ``s_hot`` KV positions (position axis 3 of every
+    slab field in the (L, B, H, S[, D]) layout)."""
     import dataclasses
 
     updates = {}
     for f in dataclasses.fields(cache):
         if f.name == "lengths":
             continue
-        updates[f.name] = getattr(cache, f.name)[:, :, :s_hot]
+        updates[f.name] = getattr(cache, f.name)[:, :, :, :s_hot]
     return dataclasses.replace(cache, **updates)
 
 
@@ -202,6 +227,8 @@ def merge_cache(full, working, s_hot: int):
         if f.name == "lengths":
             continue
         updates[f.name] = (
-            getattr(full, f.name).at[:, :, :s_hot].set(getattr(working, f.name))
+            getattr(full, f.name).at[:, :, :, :s_hot].set(
+                getattr(working, f.name)
+            )
         )
     return dataclasses.replace(full, **updates)

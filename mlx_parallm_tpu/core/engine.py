@@ -141,7 +141,9 @@ class DecodeEngine:
             logits, cache = apply_fn(params, tokens, cache)
             # apply() advanced lengths by T uniformly; install the true ragged
             # lengths (garbage KV beyond each row's length is masked/overwritten).
-            cache = KVCache(k=cache.k, v=cache.v, lengths=lengths)
+            # dataclasses.replace keeps the cache type (quantized caches carry
+            # scale planes that a bare KVCache(...) would silently drop).
+            cache = dataclasses.replace(cache, lengths=lengths)
             last = jnp.take_along_axis(
                 logits, (lengths - start - 1)[:, None, None], axis=1
             )[:, 0]
@@ -366,6 +368,7 @@ class DecodeEngine:
             self.prefix_cache is not None
             and not prefix_hit
             and lcp >= self.prefix_cache.min_tokens
+            and self.prefix_cache.should_store(prefix_key, b)
         ):
             self.prefix_cache.store(prefix_key, snapshot_prefix(cache, lcp))
         # Static sampler fast path: the full top-p path argsorts the vocab
@@ -447,8 +450,7 @@ class DecodeEngine:
             vocab = self.model.args.vocab_size
             tc = np.zeros((b_pad, vocab), dtype=np.int32)
             for i in range(b):
-                if active[i] or True:
-                    tc[i, int(tok_host[i])] = 1
+                tc[i, int(tok_host[i])] = 1
             token_counts_dev = jnp.asarray(tc)
             presence_dev = jnp.asarray(
                 [p.presence_penalty for p in seq_params] + [0.0] * (b_pad - b),
@@ -587,15 +589,49 @@ class DecodeEngine:
             tokens_np[i, : len(r)] = np.asarray(r, dtype=np.int32)
             mask[i, : len(r)] = True
 
+        cache = self._make_cache(b_pad, t_pad)
         logprobs = _score_jit(
             self.model.apply_fn(),
             self.model.params,
             jnp.asarray(tokens_np),
-            self._make_cache(b_pad, t_pad),
+            cache,
         )
         lp = np.asarray(jax.device_get(logprobs))
+        # Return the slab to the pool — each perplexity/echo call must not
+        # leak a fresh slab allocation.
+        self.kv_pool.release(cache)
         return lp[:b, : max_len - 1], mask[:b, 1:max_len]
 
+
+    def score_topk(
+        self, token_rows: Sequence[Sequence[int]], k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Teacher-forced top-k alternatives per position.
+
+        Returns (values (B, T-1, K), ids (B, T-1, K)) where position j holds
+        the k most-likely next tokens after tokens[:j+1] — the real
+        ``top_logprobs`` data (reference server/main.py:521-527,585-591
+        computes the same k-best via numpy argsort per position)."""
+        b = len(token_rows)
+        b_pad = _bucket_batch(b, self.max_batch_size)
+        max_len = max(len(r) for r in token_rows)
+        t_pad = _bucket_len(max_len)
+        tokens_np = np.zeros((b_pad, t_pad), dtype=np.int32)
+        for i, r in enumerate(token_rows):
+            tokens_np[i, : len(r)] = np.asarray(r, dtype=np.int32)
+        cache = self._make_cache(b_pad, t_pad)
+        vals, ids = _score_topk_jit(
+            self.model.apply_fn(),
+            self.model.params,
+            jnp.asarray(tokens_np),
+            cache,
+            k,
+        )
+        self.kv_pool.release(cache)
+        return (
+            np.asarray(jax.device_get(vals))[:b, : max_len - 1],
+            np.asarray(jax.device_get(ids))[:b, : max_len - 1],
+        )
 
     # ----------------------------------------------------------- embeddings
 
@@ -628,6 +664,14 @@ def _embed_jit(hidden_fn, params, tokens, lengths):
     mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
     pooled = jnp.sum(hidden.astype(jnp.float32) * mask[..., None], axis=1)
     return pooled / jnp.maximum(lengths[:, None].astype(jnp.float32), 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _score_topk_jit(apply_fn, params, tokens, cache, k):
+    logits, _ = apply_fn(params, tokens, cache)
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(lsm[:, :-1], k)
+    return vals, ids
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

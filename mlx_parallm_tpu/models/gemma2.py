@@ -80,9 +80,8 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
         )
     else:
         cache = cache.update_layer(layer, k, v)
-        k_slab, v_slab = cache.layer_view(layer)
-        out = attention.sdpa(
-            q, k_slab, v_slab, q_offsets=cache.lengths, scale=scale,
+        out = attention.cached_attention(
+            q, cache, layer, scale=scale,
             logit_softcap=args.attn_logit_softcapping,
             sliding_window=window,
         )

@@ -100,14 +100,7 @@ def _attention_block(args: ModelArgs, p, x, cache: Optional[KVCache], layer: int
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         cache = cache.update_layer(layer, k, v)
-        k_slab, v_slab = cache.layer_view(layer)
-        out = attention.sdpa(
-            q,
-            k_slab,
-            v_slab,
-            q_offsets=cache.lengths,
-            scale=d**-0.5,
-        )
+        out = attention.cached_attention(q, cache, layer, scale=d**-0.5)
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
 

@@ -70,3 +70,104 @@ def sdpa(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+def sdpa_slab(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_offsets: jnp.ndarray,
+    scale: float,
+    logit_softcap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Like :func:`sdpa` but over slab-layout KV: k/v are (B, H_kv, S, D)
+    (heads ahead of positions — the cache's native order)."""
+    b, t, hq, d = q.shape
+    _, hkv, s, _ = k.shape
+    assert hq % hkv == 0
+    rep = hq // hkv
+
+    # XLA:CPU's dot thunk can't execute this contraction in bf16 (the TPU
+    # path keeps bf16 to halve slab traffic).
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    k = k.astype(cdt)
+    v = v.astype(cdt)
+    qg = (q.astype(cdt) * scale).reshape(b, t, hkv, rep, d)
+    scores = jnp.einsum(
+        "bthrd,bhsd->bhrts", qg, k, preferred_element_type=jnp.float32
+    )
+    if logit_softcap:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+
+    kv_pos = jnp.arange(s)[None, None, :]  # (1, 1, S)
+    q_pos = q_offsets[:, None, None] + jnp.arange(t)[None, :, None]  # (B, T, 1)
+    valid = kv_pos <= q_pos
+    if sliding_window is not None:
+        valid &= kv_pos > q_pos - sliding_window
+    scores = jnp.where(valid[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhrts,bhsd->bthrd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+def cached_attention(
+    q: jnp.ndarray,
+    cache,
+    layer: int,
+    *,
+    scale: float,
+    logit_softcap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Attention over a KV-cache layer (the models' single entry point).
+
+    Dispatch: the T==1 decode hot loop on TPU runs the flash-decode Pallas
+    kernel (online softmax, per-row-length DMA skipping, int8 KV consumed
+    without slab dequantization — ops/flash_decode.py); everything else
+    (prefill, CPU tests, unsupported shapes) falls back to the XLA slab
+    path, dequantizing int8 KV on the fly.
+    """
+    import os
+
+    from . import flash_decode as FD
+
+    k, v, k_scale, v_scale = cache.layer_raw(layer)
+    t = q.shape[1]
+    use_flash = (
+        t == 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("MLX_PARALLM_NO_FLASH") != "1"
+        and FD.supported(q, k, cache.lengths)
+    )
+    if use_flash:
+        return FD.flash_decode(
+            q,
+            k,
+            v,
+            cache.lengths,
+            scale=scale,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            logit_softcap=logit_softcap,
+            sliding_window=sliding_window,
+        )
+    if k_scale is not None:
+        k = k.astype(jnp.bfloat16) * k_scale[..., None]
+        v = v.astype(jnp.bfloat16) * v_scale[..., None]
+    return sdpa_slab(
+        q,
+        k,
+        v,
+        q_offsets=cache.lengths,
+        scale=scale,
+        logit_softcap=logit_softcap,
+        sliding_window=sliding_window,
+    )

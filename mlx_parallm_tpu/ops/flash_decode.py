@@ -6,24 +6,24 @@ materializes (B, Hq, T, S) fp32 score tensors) for the T==1 decode hot loop,
 covering the reference's ``mx.fast.scaled_dot_product_attention`` decode use
 (reference: /root/reference/mlx_parallm/models/llama.py:139; SURVEY §2.6).
 
-Design (one program per (batch row, KV block), online softmax):
+Design (one program per (row, kv-head, KV block), online softmax):
 
-  * grid ``(B, S/SBLK)`` with the KV-position axis innermost; running
-    (m, l, acc) live in VMEM scratch across a row's KV blocks — no (T, S)
-    materialization, no HBM round trip for scores.
+  * KV slab layout is (B, H_kv, S, D) — each (SBLK, D) K/V block is ONE
+    fully contiguous HBM region, and the whole block feeds a single MXU dot
+    against that head's ``rep`` query rows. Grid ``(B, Hkv, S/SBLK)`` with
+    the KV-position axis innermost; running (m, l, acc) live in VMEM
+    scratch across a row's KV blocks — no (T, S) materialization.
   * ``lengths`` ride scalar prefetch: the K/V BlockSpec index maps clamp
     blocks past a row's valid length back to block 0, so the pipeline skips
     their DMAs entirely — per-row HBM traffic is proportional to that row's
     live context, not the padded slab.
-  * GQA: query heads are laid out kv-head-major ``(B, Hkv*rep, D)``; each
-    kv head's K/V block is dotted against its ``rep`` query rows (static
-    unrolled loop, MXU dots with fp32 accumulation).
-  * INT8 KV (north star "INT8-quantized KV cache", VERDICT round 1 #6):
-    int8 K/V blocks are cast to bf16 in VMEM and the per-(position, head)
-    scales are folded into the score rows / probability rows — the slab is
-    read at 1 byte/element and NEVER dequantized to a bf16 slab in HBM
-    (replacing ``QuantizedKVCache.layer_view``'s full-slab dequant).
-  * Optional logit softcap (gemma2) and sliding window supported in-kernel.
+  * INT8 KV (north star "INT8-quantized KV cache"): int8 K/V blocks are
+    cast to bf16 in VMEM and the per-(head, position) scales are folded
+    into the score / probability rows — the slab is read at 1 byte/element
+    and NEVER dequantized to a bf16 slab in HBM (replacing
+    ``QuantizedKVCache.layer_view``'s full-slab dequant).
+  * Optional logit softcap (gemma2) and sliding window supported in-kernel;
+    window blocks below the attention span are DMA-skipped too.
 """
 
 from __future__ import annotations
@@ -38,16 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Conservative VMEM budget for the double-buffered K/V blocks (the scratch,
-# q and out blocks are small): stay well under the 16 MiB scoped limit.
+# Budget for the double-buffered K/V blocks (q/out/scratch are small);
+# stays well under the 16 MiB scoped limit.
 _KV_VMEM_BUDGET = 8 * 2**20
 
 
-def _choose_sblk(s: int, hkv: int, d: int, kv_bytes: int) -> int:
-    for sblk in (1024, 512, 256, 128):
+def _choose_sblk(s: int, d: int, kv_bytes: int) -> int:
+    for sblk in (4096, 2048, 1024, 512, 256, 128):
         if s % sblk != 0:
             continue
-        if 2 * 2 * sblk * hkv * d * kv_bytes <= _KV_VMEM_BUDGET:
+        if 2 * 2 * sblk * d * kv_bytes <= _KV_VMEM_BUDGET:
             return sblk
     return 0
 
@@ -64,16 +64,15 @@ def _kernel(
     l_ref,
     acc_ref,
     *,
-    rep: int,
-    hkv: int,
     sblk: int,
     quantized: bool,
     softcap: Optional[float],
     window: Optional[int],
+    compute_dtype=jnp.bfloat16,
 ):
     b = pl.program_id(0)
-    si = pl.program_id(1)
-    ns = pl.num_programs(1)
+    si = pl.program_id(2)
+    ns = pl.num_programs(2)
 
     @pl.when(si == 0)
     def _init():
@@ -81,91 +80,70 @@ def _kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q_pos = len_ref[b]  # query attends kv slots s <= q_pos
-    valid_n = q_pos + 1
+    q_pos = len_ref[b]  # the query attends kv slots s <= q_pos
     base = si * sblk
-
-    run = base < valid_n
+    run = base < q_pos + 1
     if window is not None:
         run = jnp.logical_and(run, base + sblk > q_pos - window)
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]  # (Hq, D) bf16, pre-scaled
-        k = k_ref[0]  # (SBLK, Hkv, D)
-        v = v_ref[0]
-        rows = []
-        for h in range(hkv):
-            q_h = q[h * rep : (h + 1) * rep, :]  # (rep, D)
-            k_h = k[:, h, :]  # (SBLK, D)
-            if quantized:
-                k_h = k_h.astype(jnp.bfloat16)
-            s_h = jax.lax.dot_general(
-                q_h,
-                k_h,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (rep, SBLK)
-            if quantized:
-                s_h = s_h * ks_ref[0][h : h + 1, :].astype(jnp.float32)
-            rows.append(s_h)
-        scores = jnp.concatenate(rows, axis=0)  # (Hq, SBLK) fp32
+        q = q_ref[0, 0].astype(compute_dtype)  # (rep, D), pre-scaled
+        k = k_ref[0, 0].astype(compute_dtype)  # (SBLK, D)
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rep, SBLK)
+        if quantized:
+            scores = scores * ks_ref[0, 0].astype(jnp.float32)  # (1, SBLK)
         if softcap is not None:
             scores = jnp.tanh(scores / softcap) * softcap
 
-        kv_pos = base + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1
-        )
+        kv_pos = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         valid = kv_pos <= q_pos
         if window is not None:
             valid = jnp.logical_and(valid, kv_pos > q_pos - window)
         scores = jnp.where(valid, scores, NEG_INF)
 
-        m_prev = m_ref[...]  # (Hq, 128), all lanes equal
-        m_cur = jnp.max(scores, axis=1, keepdims=True)  # (Hq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)  # (Hq, 128)
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # (Hq, 1)
-        p = jnp.exp(scores - m_new[:, :1])  # (Hq, SBLK)
+        m_prev = m_ref[...]  # (rep, 128), all lanes equal
+        m_cur = jnp.max(scores, axis=1, keepdims=True)  # (rep, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # (rep, 1)
+        p = jnp.exp(scores - m_new[:, :1])  # (rep, SBLK)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_new
 
-        outs = []
-        for h in range(hkv):
-            p_h = p[h * rep : (h + 1) * rep, :]  # (rep, SBLK)
-            if quantized:
-                p_h = p_h * vs_ref[0][h : h + 1, :].astype(jnp.float32)
-            v_h = v[:, h, :]
-            if quantized:
-                v_h = v_h.astype(jnp.bfloat16)
-            outs.append(
-                jax.lax.dot_general(
-                    p_h.astype(v_h.dtype),
-                    v_h,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )  # (rep, D)
-        pv = jnp.concatenate(outs, axis=0)  # (Hq, D)
+        if quantized:
+            p = p * vs_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(compute_dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rep, D)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(si == ns - 1)
     def _final():
-        o_ref[0] = (
+        o_ref[0, 0] = (
             acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-20)
         ).astype(o_ref.dtype)
 
 
 def supported(q, k, lengths) -> bool:
-    """Shape gate for the decode kernel: T==1 query, lane-aligned head dim,
-    KV window divisible by a feasible block size."""
-    if q.ndim != 4 or q.shape[1] != 1:
+    """Shape gate: T==1 query, lane-aligned head dim, KV window divisible by
+    a feasible block size. k is the slab-layout (B, Hkv, S, D) cache view."""
+    if q.ndim != 4 or q.shape[1] != 1 or k.ndim != 4:
         return False
     b, _, hq, d = q.shape
-    _, s, hkv, dk = k.shape
+    _, hkv, s, dk = k.shape
     if d != dk or d % 128 != 0 or hq % hkv != 0:
         return False
     kv_bytes = 1 if k.dtype == jnp.int8 else 2
-    return _choose_sblk(s, hkv, d, kv_bytes) > 0
+    return _choose_sblk(s, d, kv_bytes) > 0
 
 
 @functools.partial(
@@ -185,85 +163,95 @@ def flash_decode(
     sliding_window: Optional[int] = None,
     interpret: bool = False,
 ):
-    """Single-token batched decode attention over a KV slab.
+    """Single-token batched decode attention over a slab-layout KV cache.
 
-    q: (B, 1, Hq, D); k/v: (B, S, Hkv, D) bf16 — or int8 with
-    k_scale/v_scale (B, S, Hkv); lengths: (B,) int32 where row b's query
+    q: (B, 1, Hq, D); k/v: (B, Hkv, S, D) bf16 — or int8 with
+    k_scale/v_scale (B, Hkv, S); lengths: (B,) int32 where row b's query
     sits at absolute position lengths[b] (attends kv slots <= lengths[b]).
     Returns (B, 1, Hq, D) in q.dtype.
     """
     b, t, hq, d = q.shape
-    _, s, hkv, _ = k.shape
+    _, hkv, s, _ = k.shape
     assert t == 1 and hq % hkv == 0
     rep = hq // hkv
     quantized = k_scale is not None
     kv_bytes = 1 if quantized else 2
-    sblk = _choose_sblk(s, hkv, d, kv_bytes)
-    assert sblk > 0, (s, hkv, d)
+    sblk = _choose_sblk(s, d, kv_bytes)
+    assert sblk > 0, (s, d)
     ns = s // sblk
 
     q2 = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    q2 = q2.reshape(b, hq, d)  # kv-head-major rows: h*rep + r
+    q2 = q2.reshape(b, hkv, rep, d)
 
     if quantized:
-        ks_t = k_scale.transpose(0, 2, 1)  # (B, Hkv, S)
-        vs_t = v_scale.transpose(0, 2, 1)
+        # 4D view (B, Hkv, 1, S): the (1, SBLK) trailing block dims satisfy
+        # Mosaic's tiling rule (sublane dim spans the full singleton axis).
+        k_scale = k_scale.reshape(b, hkv, 1, s)
+        v_scale = v_scale.reshape(b, hkv, 1, s)
     else:
-        # Placeholder operands keep one kernel signature; blocks are tiny
-        # and their loads are dead-code under `quantized=False`.
-        ks_t = jnp.zeros((b, hkv, 128), dtype=jnp.bfloat16)
-        vs_t = ks_t
-    s_sc = ks_t.shape[2]
+        # Placeholder operands keep one kernel signature; their blocks are
+        # tiny and the loads are dead code under `quantized=False`.
+        k_scale = jnp.zeros((b, hkv, 1, 128), dtype=jnp.bfloat16)
+        v_scale = k_scale
     sblk_sc = sblk if quantized else 128
 
-    def kv_idx(bi, si, len_ref):
-        # Skip (re-map to block 0, whose DMA the pipeline elides) every
-        # block fully past this row's valid length.
+    def kv_idx(bi, hi, si, len_ref):
+        # Clamp blocks fully outside [q_pos - window, q_pos] back to the
+        # previous live block: the pipeline elides the repeated DMA, so
+        # per-row traffic tracks that row's live context.
         live = si * sblk < len_ref[bi] + 1
-        return (bi, jnp.where(live, si, 0), 0, 0)
+        if sliding_window is not None:
+            live = jnp.logical_and(
+                live, (si + 1) * sblk > len_ref[bi] - sliding_window
+            )
+        return (bi, hi, jnp.where(live, si, 0), 0)
 
     if quantized:
 
-        def sc_idx(bi, si, len_ref):
+        def sc_idx(bi, hi, si, len_ref):
             live = si * sblk < len_ref[bi] + 1
-            return (bi, 0, jnp.where(live, si, 0))
+            if sliding_window is not None:
+                live = jnp.logical_and(
+                    live, (si + 1) * sblk > len_ref[bi] - sliding_window
+                )
+            return (bi, hi, 0, jnp.where(live, si, 0))
 
     else:
 
-        def sc_idx(bi, si, len_ref):
-            return (bi, 0, 0)
+        def sc_idx(bi, hi, si, len_ref):
+            return (bi, hi, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, ns),
+        grid=(b, hkv, ns),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda bi, si, len_ref: (bi, 0, 0)),
-            pl.BlockSpec((1, sblk, hkv, d), kv_idx),
-            pl.BlockSpec((1, sblk, hkv, d), kv_idx),
-            pl.BlockSpec((1, hkv, sblk_sc), sc_idx),
-            pl.BlockSpec((1, hkv, sblk_sc), sc_idx),
+            pl.BlockSpec((1, 1, rep, d), lambda bi, hi, si, L: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sblk, d), kv_idx),
+            pl.BlockSpec((1, 1, sblk, d), kv_idx),
+            pl.BlockSpec((1, 1, 1, sblk_sc), sc_idx),
+            pl.BlockSpec((1, 1, 1, sblk_sc), sc_idx),
         ],
         out_specs=pl.BlockSpec(
-            (1, hq, d), lambda bi, si, len_ref: (bi, 0, 0)
+            (1, 1, rep, d), lambda bi, hi, si, L: (bi, hi, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((hq, 128), jnp.float32),  # running max (broadcast)
-            pltpu.VMEM((hq, 128), jnp.float32),  # running denom
-            pltpu.VMEM((hq, d), jnp.float32),  # running numerator
+            pltpu.VMEM((rep, 128), jnp.float32),  # running max (broadcast)
+            pltpu.VMEM((rep, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((rep, d), jnp.float32),  # running numerator
         ],
     )
     kernel = functools.partial(
         _kernel,
-        rep=rep,
-        hkv=hkv,
         sblk=sblk,
         quantized=quantized,
         softcap=logit_softcap,
         window=sliding_window,
+        # CPU interpret mode (tests) lacks bf16 dot support.
+        compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * d * s,
@@ -271,5 +259,5 @@ def flash_decode(
             transcendentals=b * hq * s,
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q2, k, v, ks_t, vs_t)
+    )(lengths.astype(jnp.int32), q2, k, v, k_scale, v_scale)
     return out.reshape(b, 1, hq, d).astype(q.dtype)

@@ -104,24 +104,24 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def kv_cache_sharding(mesh: Mesh, batch: int, n_kv_heads: int) -> NamedSharding:
-    """(L, B, S, H_kv, D): batch over dp, heads over tp — each axis only when
+    """(L, B, H_kv, S, D): batch over dp, heads over tp — each axis only when
     it divides evenly."""
     dp_axis = "dp" if batch % mesh.shape["dp"] == 0 else None
     tp_axis = "tp" if n_kv_heads % mesh.shape["tp"] == 0 else None
-    return NamedSharding(mesh, P(None, dp_axis, None, tp_axis, None))
+    return NamedSharding(mesh, P(None, dp_axis, tp_axis, None, None))
 
 
 def shard_cache(cache, mesh: Mesh):
     """Shard any KV-slab dataclass (KVCache / QuantizedKVCache): 5D slabs
-    (L, B, S, H, D) put batch over dp + heads over tp, 4D per-head scale
-    planes (L, B, S, H) likewise, everything else replicated."""
+    (L, B, H, S, D) put batch over dp + heads over tp, 4D per-head scale
+    planes (L, B, H, S) likewise, everything else replicated."""
     import dataclasses as _dc
 
-    n_kv_heads = cache.k.shape[3]
+    n_kv_heads = cache.k.shape[2]
     kv_sh = kv_cache_sharding(mesh, cache.batch_size, n_kv_heads)
     dp_axis = "dp" if cache.batch_size % mesh.shape["dp"] == 0 else None
     tp_axis = "tp" if n_kv_heads % mesh.shape["tp"] == 0 else None
-    scale_sh = NamedSharding(mesh, P(None, dp_axis, None, tp_axis))
+    scale_sh = NamedSharding(mesh, P(None, dp_axis, tp_axis, None))
     rep = NamedSharding(mesh, P())
     updates = {}
     for f in _dc.fields(cache):

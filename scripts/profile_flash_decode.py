@@ -36,16 +36,16 @@ def main():
     kv_bytes = 1 if args.int8 else 2
     if args.int8:
         k = jnp.asarray(
-            rng.integers(-127, 127, (b, s, hkv, d)), jnp.int8
+            rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8
         )
         v = jnp.asarray(
-            rng.integers(-127, 127, (b, s, hkv, d)), jnp.int8
+            rng.integers(-127, 127, (b, hkv, s, d)), jnp.int8
         )
-        ks = jnp.asarray(rng.random((b, s, hkv)) * 0.02, jnp.bfloat16)
-        vs = jnp.asarray(rng.random((b, s, hkv)) * 0.02, jnp.bfloat16)
+        ks = jnp.asarray(rng.random((b, hkv, s)) * 0.02, jnp.bfloat16)
+        vs = jnp.asarray(rng.random((b, hkv, s)) * 0.02, jnp.bfloat16)
     else:
-        k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
         ks = vs = None
 
     scale = d**-0.5
@@ -69,7 +69,7 @@ def main():
 
         def step(carry, _):
             q = carry
-            o = attention.sdpa(q, k, v, q_offsets=lengths, scale=scale)
+            o = attention.sdpa_slab(q, k, v, q_offsets=lengths, scale=scale)
             return (o * 1e-6 + q).astype(q.dtype), ()
 
         out, _ = jax.lax.scan(step, q, None, length=args.iters)

@@ -17,16 +17,18 @@ def test_quantized_cache_roundtrip():
     k_new = jnp.asarray(rng.standard_normal((3, 4, 2, 16)).astype(np.float32))
     v_new = jnp.asarray(rng.standard_normal((3, 4, 2, 16)).astype(np.float32))
     cache = cache.update_layer(0, k_new, v_new)
+    # layer_view is slab-layout (B, H, S, D); compare against the (B, T,
+    # H, D) inputs transposed to match.
     k_view, v_view = cache.layer_view(0)
     np.testing.assert_allclose(
-        np.asarray(k_view[:, :4], np.float32),
-        np.asarray(k_new, np.float32),
+        np.asarray(k_view[:, :, :4], np.float32),
+        np.asarray(k_new.transpose(0, 2, 1, 3), np.float32),
         rtol=0.03,
         atol=0.03,
     )
     np.testing.assert_allclose(
-        np.asarray(v_view[:, :4], np.float32),
-        np.asarray(v_new, np.float32),
+        np.asarray(v_view[:, :, :4], np.float32),
+        np.asarray(v_new.transpose(0, 2, 1, 3), np.float32),
         rtol=0.03,
         atol=0.03,
     )

@@ -132,10 +132,10 @@ def test_generation_across_hot_window_bucket(tiny_model_dir):
         final_len = int(jax.device_get(engine._cache.lengths)[0])
         assert final_len == len(ids) + max_tokens - 1  # last token's KV unwritten
         k = np.asarray(
-            jax.device_get(engine._cache.k[:, 0, 256:final_len]),
+            jax.device_get(engine._cache.k[:, 0, :, 256:final_len]),
             dtype=np.float32,
-        )
-        mags = np.abs(k).max(axis=(0, 2, 3))  # per-position max |K|
+        )  # (L, H, P, D) slab layout
+        mags = np.abs(k).max(axis=(0, 1, 3))  # per-position max |K|
         assert (mags > 0).all(), (
             f"zeroed KV positions past bucket: {np.where(mags == 0)[0] + 256}"
         )
