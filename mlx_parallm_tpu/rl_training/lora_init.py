@@ -87,7 +87,12 @@ def inject_lora(
                 * (1.0 / np.sqrt(in_f))
             ).astype(jnp.bfloat16)
             lin["lora_b"] = jnp.zeros((out_f, rank), dtype=jnp.bfloat16)
-            lin["lora_scale"] = jnp.float32(scale / rank)
+            # mlx_lm semantics: the effective delta is ``scale * B @ A``
+            # (NOT scale/rank) — one convention across init, adapter
+            # loading (weight_updater) and merging (tools/merge_lora), so
+            # checkpoints serve at the strength they trained at and
+            # reference-ecosystem adapters load correctly.
+            lin["lora_scale"] = jnp.float32(scale)
             n_adapted += 1
     if n_adapted:
         model.version += 1

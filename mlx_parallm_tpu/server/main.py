@@ -220,15 +220,6 @@ DONE_SENTINEL = "__DONE__"
 # ----------------------------------------------------------------- helpers
 
 
-def _get_record(model_id: str) -> Optional[InternalModelRecord]:
-    rec = state.model_registry.get(model_id)
-    if rec is None and state.model_registry:
-        # Accept the single loaded model under any alias the client sends?
-        # No — reference 404s unknown models. Only exact id matches.
-        return None
-    return rec
-
-
 def _sp_from_request(req, max_tokens: int, seed_offset: int = 0) -> SamplingParams:
     logit_bias = None
     if getattr(req, "logit_bias", None):
@@ -396,6 +387,19 @@ async def debug_metrics(request: web.Request) -> web.Response:
     rec = state.get_active_record()
     if rec and rec.engine_instance:
         _sync_engine_metrics(rec.engine_instance)
+    slot_engine = request.app.get("slot_engine")
+    if slot_engine is not None:
+        # Live pull from the slot engine (not only on admission — the
+        # reference updates per step, server/main.py:1603-1634; an idle
+        # tail after the last admission must still be reflected).
+        sm = slot_engine.metrics
+        METRICS["decode_tokens_total"] = sm["decode_tokens_total"]
+        METRICS["decode_time_total"] = sm["decode_time_total"]
+        METRICS["active_slots"] = sm["active_slots"]
+        if sm["decode_time_total"] > 0:
+            METRICS["last_decode_tps"] = (
+                sm["decode_tokens_total"] / sm["decode_time_total"]
+            )
     m = dict(METRICS)
     n = max(m["batches_processed"], 1)
     m["avg_batch_fill"] = m["batch_fill_total"] / n
@@ -652,6 +656,7 @@ async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: s
                 text_parts.append(piece)
 
         completion_ids: List[int] = []
+        completion_lps: List[float] = []
         finish_reason = None
         if max_tokens > 0:
             sp = _sp_from_request(body, max_tokens)
@@ -663,10 +668,11 @@ async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: s
                     finish_reason = "stop"
                     break
                 completion_ids.append(tid)
+                completion_lps.append(step.logprobs[0])
                 piece = tok.decode([tid])
                 lp_tokens.append(piece)
                 lp_vals.append(step.logprobs[0])
-                lp_top.append({piece: step.logprobs[0]} if top_k else None)
+                lp_top.append(None)  # filled from the top-k pass below
                 offsets.append(pos)
                 pos += len(piece)
                 text_parts.append(piece)
@@ -676,6 +682,33 @@ async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: s
                 finish_reason = "stop"
         else:
             finish_reason = "stop" if body.echo else None
+
+        if top_k > 0 and (completion_ids or (body.echo and len(prompt_ids) > 1)):
+            # Real k-best alternatives per position (reference
+            # server/main.py:521-527,585-591): one teacher-forced pass over
+            # prompt+completion; position j of the result scores the token
+            # at j+1. The sampled/actual token is merged in (it may fall
+            # outside the top-k).
+            full_ids = list(prompt_ids) + completion_ids
+            vals, ids = engine.score_topk([full_ids], top_k)
+            for out_idx in range(len(lp_tokens)):
+                # Map output row -> position in full_ids.
+                if body.echo:
+                    pos_in_full = out_idx
+                else:
+                    pos_in_full = len(prompt_ids) + out_idx
+                if pos_in_full == 0:
+                    continue  # first token has no distribution
+                entry = {
+                    tok.decode([int(t)]): float(v)
+                    for v, t in zip(
+                        vals[0, pos_in_full - 1], ids[0, pos_in_full - 1]
+                    )
+                }
+                actual_piece = lp_tokens[out_idx]
+                if lp_vals[out_idx] is not None:
+                    entry.setdefault(actual_piece, lp_vals[out_idx])
+                lp_top[out_idx] = entry
 
         logprobs_obj = (
             LogProbs(
@@ -1217,17 +1250,29 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
             SlotRequest(prompt_tokens=prompt_ids, params=sp, on_token=on_token)
         )
 
+    # Persistent queue getters: cancelling a pending Queue.get that has
+    # already dequeued an item silently drops the request (classic asyncio
+    # race — reference-era bug class); instead each getter lives until it
+    # actually yields an item, then is re-armed.
+    get_req: Optional[asyncio.Future] = None
+    get_stream: Optional[asyncio.Future] = None
     try:
         while True:
-            get_req = asyncio.ensure_future(req_q.get())
-            get_stream = asyncio.ensure_future(stream_q.get())
-            done, pend = await asyncio.wait(
+            if get_req is None:
+                get_req = asyncio.ensure_future(req_q.get())
+            if get_stream is None:
+                get_stream = asyncio.ensure_future(stream_q.get())
+            done, _ = await asyncio.wait(
                 [get_req, get_stream], return_when=asyncio.FIRST_COMPLETED
             )
-            for p in pend:
-                p.cancel()
-            for d in done:
-                item = d.result()
+            items = []
+            if get_req in done:
+                items.append(get_req.result())
+                get_req = None
+            if get_stream in done:
+                items.append(get_stream.result())
+                get_stream = None
+            for item in items:
                 METRICS["queue_depth"] = req_q.qsize()
                 _record_batch_fill(
                     max(1, args.max_batch_size - engine.free_slots),
@@ -1237,14 +1282,17 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                     submit_completion(item)
                 else:
                     submit_stream(item)
-                m = engine.metrics
-                METRICS["decode_tokens_total"] = m["decode_tokens_total"]
-                METRICS["decode_time_total"] = m["decode_time_total"]
-                if m["decode_time_total"] > 0:
-                    METRICS["last_decode_tps"] = (
-                        m["decode_tokens_total"] / m["decode_time_total"]
-                    )
+            m = engine.metrics
+            METRICS["decode_tokens_total"] = m["decode_tokens_total"]
+            METRICS["decode_time_total"] = m["decode_time_total"]
+            if m["decode_time_total"] > 0:
+                METRICS["last_decode_tps"] = (
+                    m["decode_tokens_total"] / m["decode_time_total"]
+                )
     except asyncio.CancelledError:
+        for f in (get_req, get_stream):
+            if f is not None:
+                f.cancel()
         engine.stop()
         raise
 

@@ -61,8 +61,9 @@ def merge_lora(model_path: str, adapter_path: str, out_dir: str) -> str:
     for base in lora_bases:
         a = adapter[f"{base}.lora_a"].astype(np.float32)  # (r, K)
         b = adapter[f"{base}.lora_b"].astype(np.float32)  # (N, r)
-        rank = a.shape[0]
-        delta = (scale / rank) * (b @ a)  # (N, K)
+        # mlx_lm scale semantics: delta = scale * B @ A (matches lora_init
+        # and weight_updater — one convention everywhere).
+        delta = scale * (b @ a)  # (N, K)
         wkey = f"{base}.weight"
         if wkey not in weights:
             logger.warning("No base weight for adapter target %s; skipping", base)

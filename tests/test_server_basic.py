@@ -149,6 +149,15 @@ def test_logprobs_generation(server):
     assert lp is not None
     assert len(lp["tokens"]) >= 1
     assert len(lp["tokens"]) == len(lp["token_logprobs"]) == len(lp["text_offset"])
+    # Real top-k alternatives (reference server/main.py:521-527): each
+    # generated position carries >= k entries including the sampled token,
+    # and greedy sampling means the sampled token is the argmax entry.
+    for i, entry in enumerate(lp["top_logprobs"]):
+        assert entry is not None and len(entry) >= 2, (i, entry)
+        sampled = lp["tokens"][i]
+        assert sampled in entry
+        assert abs(entry[sampled] - lp["token_logprobs"][i]) < 0.05
+        assert entry[sampled] == max(entry.values())  # greedy argmax
 
 
 def test_perplexity(server):
