@@ -199,6 +199,37 @@ def load_model(
                             built = True
                 if not built and arr.ndim == 2:
                     flat[base + ".q8"] = quant.unpack(arr, bits)
+                if arr.ndim == 3:
+                    # Stacked MoE expert weights (E, N, Kw packed). Build
+                    # the per-expert fast-path mirror consumed by
+                    # models/switch_layers's grouped dispatch: tiled
+                    # fused-kernel layout on TPU, unpacked int8 otherwise.
+                    if on_tpu:
+                        from ..ops import qmm_pallas
+
+                        e_cnt, n, kw_m = arr.shape
+                        k = kw_m * (32 // bits)
+                        probe = jnp.zeros((1, k), jnp.bfloat16)
+                        nt = quant.choose_n_tile(
+                            k, n, bits, n_shards=n_shards, group_size=gs
+                        )
+                        if nt is not None:
+                            wk3 = jnp.stack(
+                                [
+                                    quant.tile_kernel(
+                                        quant.kernel_pack(arr[e], gs, bits), nt
+                                    )
+                                    for e in range(e_cnt)
+                                ]
+                            )
+                            if qmm_pallas.supported(
+                                probe, wk3[0], flat[base + ".scales"][0],
+                                gs, bits,
+                            ):
+                                flat[base + ".wk3"] = wk3
+                                built = True
+                    if not built:
+                        flat[base + ".q8"] = quant.unpack(arr, bits)
 
     nested = P.unflatten(flat)
     if qz and mirror_int8 and jax.default_backend() == "tpu":

@@ -1,12 +1,18 @@
-"""MoE expert compute: batched expert-indexed (quantized) matmuls.
+"""MoE expert compute: grouped per-expert (quantized) matmuls.
 
 TPU-native replacement for MLX's ``gather_mm`` / ``gather_qmm``
 (reference: /root/reference/mlx_parallm/models/switch_layers.py:58-67,101).
-The reference relies on fused gather+matmul primitives; XLA has no direct
-equivalent, so expert compute is expressed as an einsum over stacked expert
-weights plus a top-k selection — static shapes, MXU-batched over experts
-(dense-dispatch; a megablocks-style ragged kernel is the planned upgrade for
-large expert counts).
+
+Design: a static loop over experts, each expert a single (quantized) matmul
+over the tokens routed to it, wrapped in ``lax.cond`` so an expert with NO
+routed tokens is skipped at runtime — its weights are never read from HBM
+(decode batches hit only a few experts, so weight traffic tracks the routed
+set, which is what ``gather_qmm`` buys the reference). Quantized expert
+weights stay packed end-to-end: each expert's matmul goes through the
+``ops.qmm`` dispatch (Pallas fused dequant-matmul on TPU, grouped-int8 /
+dequant fallbacks elsewhere), so peak memory is bounded by ONE expert's
+weights — the (E, N, K) float stack is never materialized (round-1
+verdict item: dense dispatch dequantized the whole stack per forward).
 
 Weight layout matches the reference exactly: stacked ``(num_experts, N, K)``
 tensors (quantized: packed weight + per-expert scales/biases), produced by
@@ -21,19 +27,35 @@ import jax
 import jax.numpy as jnp
 
 from ..core import params as P
-from ..ops import quant
+from ..ops import qmm, quant
 
 QuantCfg = Optional[Tuple[int, int]]
 
 
-def _dequant_stacked(p: Dict[str, Any], qcfg: QuantCfg, dtype) -> jnp.ndarray:
-    """(E, N, K) float expert weights from a possibly quantized stack."""
+def _expert_dims(p: Dict[str, Any], qcfg: QuantCfg) -> Tuple[int, int]:
+    """(num_experts, out_features) of a stacked expert linear."""
     if "scales" in p:
-        gs, bits = qcfg if qcfg else (64, 4)
-        return quant.dequantize(
-            p["weight"], p["scales"], p["biases"], gs, bits, dtype=dtype
+        return p["scales"].shape[0], p["scales"].shape[1]
+    return p["weight"].shape[0], p["weight"].shape[1]
+
+
+def _expert_matmul(p: Dict[str, Any], e: int, xf: jnp.ndarray, qcfg: QuantCfg):
+    """One expert's ``xf @ W_e^T`` with weights consumed in packed form."""
+    if "scales" in p:
+        gs, bits = qcfg if qcfg else (
+            quant.DEFAULT_GROUP_SIZE, quant.DEFAULT_BITS
         )
-    return p["weight"].astype(dtype)
+        return qmm.qmm(
+            xf,
+            p["weight"][e] if "weight" in p else None,
+            p["scales"][e],
+            p["biases"][e],
+            group_size=gs,
+            bits=bits,
+            q_int8=p["q8"][e] if "q8" in p else None,
+            q_kernel=p["wk3"][e] if "wk3" in p else None,
+        )
+    return xf @ p["weight"][e].T.astype(xf.dtype)
 
 
 def switch_linear(
@@ -45,20 +67,29 @@ def switch_linear(
     """Expert-indexed linear: out[..., j, :] = x[...] @ W[indices[..., j]]^T.
 
     x: (..., K); indices: (..., top_k) int expert ids. Returns
-    (..., top_k, N). Dense-dispatch: computes all experts batched on the MXU
-    and gathers by one-hot — exact and static-shaped.
+    (..., top_k, N). Grouped dispatch: one masked matmul per expert,
+    runtime-skipped (lax.cond) when no token routes to it.
     """
     *lead, k = x.shape
     top_k = indices.shape[-1]
     xf = x.reshape(-1, k)
     idx = indices.reshape(-1, top_k)
-    w = _dequant_stacked(p, qcfg, x.dtype)  # (E, N, K)
-    e = w.shape[0]
-    # (T, K) x (E, N, K) -> (T, E, N)
-    all_out = jnp.einsum("tk,enk->ten", xf, w)
-    onehot = jax.nn.one_hot(idx, e, dtype=x.dtype)  # (T, top_k, E)
-    out = jnp.einsum("tje,ten->tjn", onehot, all_out)
-    return out.reshape(*lead, top_k, w.shape[1])
+    t = xf.shape[0]
+    e, n = _expert_dims(p, qcfg)
+    out = jnp.zeros((t, top_k, n), dtype=x.dtype)
+    for ei in range(e):
+        hit = idx == ei  # (T, top_k)
+
+        def compute(ei=ei):
+            return _expert_matmul(p, ei, xf, qcfg).astype(x.dtype)
+
+        y = jax.lax.cond(
+            jnp.any(hit),
+            compute,
+            lambda: jnp.zeros((t, n), dtype=x.dtype),
+        )
+        out = out + jnp.where(hit[..., None], y[:, None, :], 0)
+    return out.reshape(*lead, top_k, n)
 
 
 def switch_glu(
@@ -80,11 +111,54 @@ def switch_mlp_down(p, h, indices, qcfg):
 
     h: (..., top_k, F); indices: (..., top_k). Returns (..., top_k, N)."""
     *lead, top_k, f = h.shape
-    hf = h.reshape(-1, top_k, f)
+    hf = h.reshape(-1, f)  # (T*top_k, F) — slot j of token t at t*top_k+j
+    idx = indices.reshape(-1)  # (T*top_k,)
+    rows = hf.shape[0]
+    pd = p["down_proj"]
+    e, n = _expert_dims(pd, qcfg)
+    out = jnp.zeros((rows, n), dtype=h.dtype)
+    for ei in range(e):
+        hit = idx == ei
+
+        def compute(ei=ei):
+            return _expert_matmul(pd, ei, hf, qcfg).astype(h.dtype)
+
+        y = jax.lax.cond(
+            jnp.any(hit),
+            compute,
+            lambda: jnp.zeros((rows, n), dtype=h.dtype),
+        )
+        out = out + jnp.where(hit[:, None], y, 0)
+    return out.reshape(*lead, top_k, n)
+
+
+# ------------------------------------------------------- dense reference
+
+
+def switch_linear_dense(
+    p: Dict[str, Any],
+    x: jnp.ndarray,
+    indices: jnp.ndarray,
+    qcfg: QuantCfg = None,
+) -> jnp.ndarray:
+    """Round-1 dense-dispatch implementation (computes EVERY expert for
+    every token from a dequantized (E, N, K) stack). Kept as the numerics
+    reference for tests."""
+    *lead, k = x.shape
+    top_k = indices.shape[-1]
+    xf = x.reshape(-1, k)
     idx = indices.reshape(-1, top_k)
-    w = _dequant_stacked(p["down_proj"], qcfg, h.dtype)  # (E, N, F)
+    if "scales" in p:
+        gs, bits = qcfg if qcfg else (
+            quant.DEFAULT_GROUP_SIZE, quant.DEFAULT_BITS
+        )
+        w = quant.dequantize(
+            p["weight"], p["scales"], p["biases"], gs, bits, dtype=x.dtype
+        )
+    else:
+        w = p["weight"].astype(x.dtype)
     e = w.shape[0]
-    all_out = jnp.einsum("tjf,enf->tjen", hf, w)
-    onehot = jax.nn.one_hot(idx, e, dtype=h.dtype)  # (T, top_k, E)
-    out = jnp.einsum("tje,tjen->tjn", onehot, all_out)
+    all_out = jnp.einsum("tk,enk->ten", xf, w)
+    onehot = jax.nn.one_hot(idx, e, dtype=x.dtype)
+    out = jnp.einsum("tje,ten->tjn", onehot, all_out)
     return out.reshape(*lead, top_k, w.shape[1])
