@@ -63,6 +63,10 @@ class SlotRequest:
     params: SamplingParams
     on_token: Callable[[int, Optional[str]], Optional[bool]]
     request_id: int = 0
+    # Called (driver thread) when the engine aborts — peer loss in a
+    # multi-host run, device failure — so the serving layer can fail the
+    # request immediately instead of waiting out its timeout.
+    on_error: Optional[Callable[[str], None]] = None
 
 
 class SlotEngine:
@@ -113,6 +117,9 @@ class SlotEngine:
             "admitted_total": 0,
             "active_slots": 0,
         }
+        # Set by _abort on unrecoverable failure (peer loss, device error).
+        self.failed = False
+        self.fail_reason: Optional[str] = None
 
         from .cache import KVPool
 
@@ -284,15 +291,54 @@ class SlotEngine:
     def run_follower(self) -> None:
         """Blocking driver loop for follower processes in a multi-host run:
         replays host 0's broadcast commands (admissions + decode chunks)
-        until an OP_STOP arrives. Host 0 uses :meth:`start` instead."""
+        until an OP_STOP arrives. Host 0 uses :meth:`start` instead.
+
+        Raises RuntimeError on peer loss (the distributed runtime errors
+        out of a collective when host 0 dies) — SURVEY §5 failure
+        detection: clean abort, not a hang."""
         assert not self._sync.primary, "host 0 drives via start()"
         self._run()
+        if self.failed:
+            raise RuntimeError(
+                "slot-engine follower aborted: " + (self.fail_reason or "?")
+            )
+
+    def _abort(self, reason: str) -> None:
+        """Clean abort (SURVEY §5 failure detection): fail every live
+        request through its on_error callback, free the slots, and mark
+        the engine failed. The serving layer turns this into immediate
+        HTTP errors instead of client-timeout hangs."""
+        logger.error("SlotEngine aborting: %s", reason)
+        self.failed = True
+        self.fail_reason = reason
+        for slot, req in enumerate(self._slot_req):
+            if req is not None and req.on_error is not None:
+                try:
+                    req.on_error(reason)
+                except Exception:  # pragma: no cover
+                    logger.exception("on_error callback failed")
+            self._slot_req[slot] = None
+        # Fail anything still queued on host 0.
+        while True:
+            try:
+                req = self._submit_q.get_nowait()
+            except queue.Empty:
+                break
+            if req.on_error is not None:
+                try:
+                    req.on_error(reason)
+                except Exception:  # pragma: no cover
+                    logger.exception("on_error callback failed")
 
     def submit(self, req: SlotRequest) -> None:
         assert self._sync.primary, (
             "requests are submitted on host 0 only; followers replay the "
             "broadcast admission schedule"
         )
+        if self.failed:
+            if req.on_error is not None:
+                req.on_error(self.fail_reason or "engine failed")
+            return
         self._submit_q.put(req)
         self._wake.set()
 
@@ -454,6 +500,16 @@ class SlotEngine:
         self.metrics["admitted_total"] += 1
 
     def _run(self):
+        """Driver entry: the loop body lives in ``_run_loop``; any
+        unhandled failure (a collective erroring on peer loss, a device
+        failure) becomes a clean abort that fails live requests instead of
+        hanging them (SURVEY §5 failure detection)."""
+        try:
+            self._run_loop()
+        except Exception as e:  # noqa: BLE001
+            self._abort(f"{type(e).__name__}: {e}")
+
+    def _run_loop(self):
         logger.info(
             "SlotEngine started: %d slots, capacity %d, mesh=%s, multi=%s",
             self.num_slots,

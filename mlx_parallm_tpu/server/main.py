@@ -1164,6 +1164,15 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 )
             qr.future.set_result(resp)
 
+        def on_error(reason: str) -> None:
+            def fail() -> None:
+                if not qr.future.done():
+                    qr.future.set_exception(
+                        RuntimeError(f"engine aborted: {reason}")
+                    )
+
+            loop.call_soon_threadsafe(fail)
+
         for choice in range(n):
             sp = _sp_from_request(qr.request, qr.max_tokens, seed_offset=choice)
             engine.submit(
@@ -1171,6 +1180,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                     prompt_tokens=prompt_ids,
                     params=sp,
                     on_token=make_cb(choice),
+                    on_error=on_error,
                 )
             )
 
@@ -1246,8 +1256,20 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
             return not cancelled
 
+        def on_error(reason: str) -> None:
+            err = json.dumps(
+                {"error": {"message": f"engine aborted: {reason}"}}
+            )
+            loop.call_soon_threadsafe(it.queue.put_nowait, f"data: {err}\n\n")
+            loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
+
         engine.submit(
-            SlotRequest(prompt_tokens=prompt_ids, params=sp, on_token=on_token)
+            SlotRequest(
+                prompt_tokens=prompt_ids,
+                params=sp,
+                on_token=on_token,
+                on_error=on_error,
+            )
         )
 
     # Persistent queue getters: cancelling a pending Queue.get that has
@@ -1330,7 +1352,12 @@ def run_follower(args: ServerArgs) -> None:
         mesh=mesh,
     )
     logger.info("Follower process ready; replaying host-0 slot schedule")
-    engine.run_follower()
+    try:
+        engine.run_follower()
+    except RuntimeError as e:
+        # Peer loss: host 0 died mid-run and a collective errored.
+        logger.error("Peer loss detected — aborting follower: %s", e)
+        raise SystemExit(1)
     logger.info("Follower process exiting (OP_STOP received)")
 
 

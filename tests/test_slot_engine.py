@@ -152,6 +152,50 @@ def test_generation_across_hot_window_bucket(tiny_model_dir):
     assert out["tokens"] == ref
 
 
+def test_abort_fails_live_requests(tiny_model_dir):
+    """Failure detection (SURVEY §5): a driver failure (device error /
+    peer loss collective error) must fail live requests through on_error
+    immediately — not hang them — and fail-fast subsequent submits."""
+    model, tok = loader.load(tiny_model_dir)
+    engine = SlotEngine(
+        model, tok, num_slots=2, max_context_length=256,
+        decode_steps_per_call=4,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    engine._decode_chunk = boom
+    engine.start()
+
+    errors = []
+    done = threading.Event()
+
+    req = SlotRequest(
+        prompt_tokens=tok.encode("hello there friend"),
+        params=SamplingParams(temperature=0.0, max_tokens=8),
+        on_token=lambda tid, fin: True,
+        on_error=lambda reason: (errors.append(reason), done.set()),
+    )
+    engine.submit(req)
+    assert done.wait(120), "on_error never fired"
+    assert "injected device failure" in errors[0]
+    assert engine.failed
+
+    # Fail-fast for submissions after the abort.
+    late = threading.Event()
+    engine.submit(
+        SlotRequest(
+            prompt_tokens=[1],
+            params=SamplingParams(max_tokens=1),
+            on_token=lambda t, f: True,
+            on_error=lambda r: late.set(),
+        )
+    )
+    assert late.wait(5)
+    engine.stop()
+
+
 def test_more_requests_than_slots(slot_setup):
     """Queueing beyond slot capacity drains correctly."""
     model, tok, engine = slot_setup

@@ -64,6 +64,65 @@ def test_train_cli_end_to_end(tiny_model_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_kill_and_resume(tiny_model_dir, tmp_path):
+    """Failure recovery (SURVEY §5): SIGKILL the trainer mid-run, restart
+    with --resume, and training continues from the last checkpoint to
+    completion."""
+    import signal
+    import time
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    env = dict(os.environ)
+    env["MLX_PARALLM_FORCE_CPU"] = "1"
+    env["MOCK_N"] = "2"
+    env["MOCK_MAX_TOKENS"] = "8"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jax_cache"))
+
+    def cmd(extra):
+        return [
+            sys.executable, "-m", "mlx_parallm_tpu.rl_training.train",
+            "--model-path", tiny_model_dir,
+            "--port", str(free_port()),
+            "--total-steps", "3",
+            "--checkpoint-interval", "1",
+            "--checkpoint-dir", ckpt_dir,
+            "--learning-rate", "1e-3",
+            "--lora-rank", "4",
+            "--lora-layers", "2",
+            "--max-tokens", "16",
+        ] + extra
+
+    # Phase 1: run until the first step checkpoint lands, then SIGKILL.
+    proc = subprocess.Popen(
+        cmd([]), cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + 480
+    step1 = os.path.join(ckpt_dir, "step_1", "adapters.safetensors")
+    while time.time() < deadline and not os.path.exists(step1):
+        assert proc.poll() is None, proc.stdout.read()[-3000:]
+        time.sleep(2)
+    assert os.path.exists(step1), "no checkpoint before deadline"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    # Phase 2: restart with --resume; it must pick up the latest step_N
+    # and finish the remaining steps.
+    proc2 = subprocess.run(
+        cmd(["--resume"]), cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc2.returncode == 0, proc2.stdout + "\n" + proc2.stderr
+    assert "Resuming from" in proc2.stdout + proc2.stderr
+    with open(os.path.join(ckpt_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["step"] == 3
+    assert os.path.exists(
+        os.path.join(ckpt_dir, "step_3", "adapters.safetensors")
+    )
+
+
+@pytest.mark.slow
 def test_server_boot_with_lora_path(tiny_model_dir, tmp_path):
     """Init a LoRA adapter offline, boot the server with --lora-path, serve."""
     os.environ["MLX_PARALLM_FORCE_CPU"] = "1"
