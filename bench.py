@@ -202,6 +202,21 @@ def main() -> int:
     run_big(args.steps)  # warmup at identical shapes (see above)
     big_tps = run_big(args.steps)
 
+    # Roofline: the decode step floor is streaming every (packed) weight
+    # byte once per step at peak HBM bandwidth (v5e ~819 GB/s). SOL tok/s =
+    # batch / floor_time; roofline_pct is the fraction of that bound
+    # actually achieved (VERDICT r1 #3/#10: report the % per round).
+    HBM_PEAK = 819e9
+    import jax as _jax
+
+    weight_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in _jax.tree_util.tree_leaves(model.params)
+    )
+    floor_s = weight_bytes / HBM_PEAK
+    sol_b8 = args.batch / floor_s
+    sol_b32 = big_batch / floor_s
+
     value = round(max(decode_tps, big_tps), 2)
     print(
         json.dumps(
@@ -216,6 +231,11 @@ def main() -> int:
                     "ttft_s_b8_p128": round(ttft, 4),
                     "e2e_tok_s_b8": round(total_tps, 2),
                     "layers": args.layers,
+                    "weight_gb": round(weight_bytes / 1e9, 3),
+                    "sol_tok_s_b8": round(sol_b8, 1),
+                    "sol_tok_s_b32": round(sol_b32, 1),
+                    "roofline_pct_b8": round(100 * decode_tps / sol_b8, 1),
+                    "roofline_pct_b32": round(100 * big_tps / sol_b32, 1),
                 },
             }
         )

@@ -43,11 +43,22 @@ NEG_INF = -1e30
 _KV_VMEM_BUDGET = 8 * 2**20
 
 
-def _choose_sblk(s: int, d: int, kv_bytes: int) -> int:
+def _choose_hg(hkv: int, rep: int) -> int:
+    """Heads per grid step: enough that the softmax block has ~8 real
+    sublane rows (rep=1 models otherwise waste 7/8 of the VPU on padding),
+    and it must divide hkv."""
+    want = max(1, 8 // max(rep, 1))
+    hg = min(want, hkv)
+    while hkv % hg != 0:
+        hg -= 1
+    return hg
+
+
+def _choose_sblk(s: int, d: int, kv_bytes: int, hg: int = 1) -> int:
     for sblk in (4096, 2048, 1024, 512, 256, 128):
         if s % sblk != 0:
             continue
-        if 2 * 2 * sblk * d * kv_bytes <= _KV_VMEM_BUDGET:
+        if 2 * 2 * hg * sblk * d * kv_bytes <= _KV_VMEM_BUDGET:
             return sblk
     return 0
 
@@ -65,6 +76,8 @@ def _kernel(
     acc_ref,
     *,
     sblk: int,
+    rep: int,
+    hg: int,
     quantized: bool,
     softcap: Optional[float],
     window: Optional[int],
@@ -88,16 +101,21 @@ def _kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(compute_dtype)  # (rep, D), pre-scaled
-        k = k_ref[0, 0].astype(compute_dtype)  # (SBLK, D)
-        scores = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (rep, SBLK)
-        if quantized:
-            scores = scores * ks_ref[0, 0].astype(jnp.float32)  # (1, SBLK)
+        q = q_ref[0, 0].astype(compute_dtype)  # (HG*rep, D), pre-scaled
+        rows = []
+        for h in range(hg):
+            q_h = q[h * rep : (h + 1) * rep, :]  # (rep, D)
+            k_h = k_ref[0, 0, h].astype(compute_dtype)  # (SBLK, D)
+            s_h = jax.lax.dot_general(
+                q_h,
+                k_h,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rep, SBLK)
+            if quantized:
+                s_h = s_h * ks_ref[0, 0][h : h + 1, :].astype(jnp.float32)
+            rows.append(s_h)
+        scores = rows[0] if hg == 1 else jnp.concatenate(rows, axis=0)
         if softcap is not None:
             scores = jnp.tanh(scores / softcap) * softcap
 
@@ -107,23 +125,29 @@ def _kernel(
             valid = jnp.logical_and(valid, kv_pos > q_pos - window)
         scores = jnp.where(valid, scores, NEG_INF)
 
-        m_prev = m_ref[...]  # (rep, 128), all lanes equal
-        m_cur = jnp.max(scores, axis=1, keepdims=True)  # (rep, 1)
+        m_prev = m_ref[...]  # (HG*rep, 128), all lanes equal
+        m_cur = jnp.max(scores, axis=1, keepdims=True)  # (HG*rep, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # (rep, 1)
-        p = jnp.exp(scores - m_new[:, :1])  # (rep, SBLK)
+        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # (HG*rep, 1)
+        p = jnp.exp(scores - m_new[:, :1])  # (HG*rep, SBLK)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_new
 
-        if quantized:
-            p = p * vs_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(compute_dtype)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (rep, D)
+        outs = []
+        for h in range(hg):
+            p_h = p[h * rep : (h + 1) * rep, :]
+            if quantized:
+                p_h = p_h * vs_ref[0, 0][h : h + 1, :].astype(jnp.float32)
+            v_h = v_ref[0, 0, h].astype(compute_dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p_h.astype(v_h.dtype),
+                    v_h,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (rep, D)
+        pv = outs[0] if hg == 1 else jnp.concatenate(outs, axis=0)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(si == ns - 1)
@@ -143,7 +167,8 @@ def supported(q, k, lengths) -> bool:
     if d != dk or d % 128 != 0 or hq % hkv != 0:
         return False
     kv_bytes = 1 if k.dtype == jnp.int8 else 2
-    return _choose_sblk(s, d, kv_bytes) > 0
+    # hg=1 is the fallback grouping the wrapper can always reach.
+    return _choose_sblk(s, d, kv_bytes, 1) > 0
 
 
 @functools.partial(
@@ -176,73 +201,82 @@ def flash_decode(
     rep = hq // hkv
     quantized = k_scale is not None
     kv_bytes = 1 if quantized else 2
-    sblk = _choose_sblk(s, d, kv_bytes)
+    hg = _choose_hg(hkv, rep)
+    sblk = _choose_sblk(s, d, kv_bytes, hg)
+    while sblk == 0 and hg > 1:
+        hg = max(1, hg // 2)
+        while hkv % hg != 0:
+            hg -= 1
+        sblk = _choose_sblk(s, d, kv_bytes, hg)
     assert sblk > 0, (s, d)
     ns = s // sblk
+    ng = hkv // hg  # head groups
 
     q2 = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    q2 = q2.reshape(b, hkv, rep, d)
+    q2 = q2.reshape(b, ng, hg * rep, d)  # row within group: h_local*rep + r
 
+    k = k.reshape(b, ng, hg, s, d)
+    v = v.reshape(b, ng, hg, s, d)
     if quantized:
-        # 4D view (B, Hkv, 1, S): the (1, SBLK) trailing block dims satisfy
-        # Mosaic's tiling rule (sublane dim spans the full singleton axis).
-        k_scale = k_scale.reshape(b, hkv, 1, s)
-        v_scale = v_scale.reshape(b, hkv, 1, s)
+        k_scale = k_scale.reshape(b, ng, hg, s)
+        v_scale = v_scale.reshape(b, ng, hg, s)
     else:
         # Placeholder operands keep one kernel signature; their blocks are
         # tiny and the loads are dead code under `quantized=False`.
-        k_scale = jnp.zeros((b, hkv, 1, 128), dtype=jnp.bfloat16)
+        k_scale = jnp.zeros((b, ng, hg, 128), dtype=jnp.bfloat16)
         v_scale = k_scale
     sblk_sc = sblk if quantized else 128
 
-    def kv_idx(bi, hi, si, len_ref):
-        # Clamp blocks fully outside [q_pos - window, q_pos] back to the
-        # previous live block: the pipeline elides the repeated DMA, so
-        # per-row traffic tracks that row's live context.
+    def live_fn(bi, si, len_ref):
         live = si * sblk < len_ref[bi] + 1
         if sliding_window is not None:
             live = jnp.logical_and(
                 live, (si + 1) * sblk > len_ref[bi] - sliding_window
             )
-        return (bi, hi, jnp.where(live, si, 0), 0)
+        return live
+
+    def kv_idx(bi, gi, si, len_ref):
+        # Clamp blocks fully outside [q_pos - window, q_pos] back to the
+        # previous live block: the pipeline elides the repeated DMA, so
+        # per-row traffic tracks that row's live context.
+        return (bi, gi, 0, jnp.where(live_fn(bi, si, len_ref), si, 0), 0)
 
     if quantized:
 
-        def sc_idx(bi, hi, si, len_ref):
-            live = si * sblk < len_ref[bi] + 1
-            if sliding_window is not None:
-                live = jnp.logical_and(
-                    live, (si + 1) * sblk > len_ref[bi] - sliding_window
-                )
-            return (bi, hi, 0, jnp.where(live, si, 0))
+        def sc_idx(bi, gi, si, len_ref):
+            return (bi, gi, 0, jnp.where(live_fn(bi, si, len_ref), si, 0))
 
     else:
 
-        def sc_idx(bi, hi, si, len_ref):
-            return (bi, hi, 0, 0)
+        def sc_idx(bi, gi, si, len_ref):
+            return (bi, gi, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, hkv, ns),
+        grid=(b, ng, ns),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, d), lambda bi, hi, si, L: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sblk, d), kv_idx),
-            pl.BlockSpec((1, 1, sblk, d), kv_idx),
-            pl.BlockSpec((1, 1, 1, sblk_sc), sc_idx),
-            pl.BlockSpec((1, 1, 1, sblk_sc), sc_idx),
+            pl.BlockSpec(
+                (1, 1, hg * rep, d), lambda bi, gi, si, L: (bi, gi, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, hg, sblk, d), kv_idx),
+            pl.BlockSpec((1, 1, hg, sblk, d), kv_idx),
+            pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
+            pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, rep, d), lambda bi, hi, si, L: (bi, hi, 0, 0)
+            (1, 1, hg * rep, d), lambda bi, gi, si, L: (bi, gi, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rep, 128), jnp.float32),  # running max (broadcast)
-            pltpu.VMEM((rep, 128), jnp.float32),  # running denominator
-            pltpu.VMEM((rep, d), jnp.float32),  # running numerator
+            pltpu.VMEM((hg * rep, 128), jnp.float32),  # running max
+            pltpu.VMEM((hg * rep, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((hg * rep, d), jnp.float32),  # running numerator
         ],
     )
     kernel = functools.partial(
         _kernel,
         sblk=sblk,
+        rep=rep,
+        hg=hg,
         quantized=quantized,
         softcap=logit_softcap,
         window=sliding_window,
@@ -251,7 +285,7 @@ def flash_decode(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rep, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, ng, hg * rep, d), q.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * d * s,

@@ -148,3 +148,43 @@ def test_detokenizer_utf8_safety(loaded):
     out += detok.last_segment
     assert "�" not in out
     assert out == tok.decode(ids, skip_special_tokens=True)
+
+
+def test_decode_across_hot_window_bucket(tiny_model_dir):
+    """Cross-bucket equivalence for DecodeEngine (the slot engine carried a
+    bucket-boundary KV bug in round 1; this pins the sibling logic): a
+    generation crossing the first 256-position hot bucket must be
+    chunk-size-invariant and keep writing real KV past the boundary."""
+    import jax
+    import numpy as np
+
+    model, tok = loader.load(tiny_model_dir)
+
+    class _NoEos:
+        def __init__(self, inner):
+            self._inner = inner
+            self.eos_token_ids = set()
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    no_eos = _NoEos(tok)
+    base = tok.encode("The quick brown fox jumps over the lazy dog. ")
+    ids = (base * 20)[:200]
+    sp = [SamplingParams(temperature=0.0, max_tokens=150)]  # final len 350
+
+    def run(chunk):
+        eng = DecodeEngine(
+            model, no_eos, disable_prefix_cache=True,
+            max_context_length=1024, decode_steps_per_call=chunk,
+        )
+        toks = []
+        for step in eng.decode_batch([ids], sp):
+            if step.tokens[0] is not None:
+                toks.append(step.tokens[0])
+        return toks
+
+    t4 = run(4)
+    t16 = run(16)
+    assert len(t4) == 150
+    assert t4 == t16
