@@ -112,24 +112,53 @@ def sample_tokens(
         )[:, 0]
         return tokens, logprobs
 
-    # Per-row top-p filtering in sorted order.
-    sort_idx = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    # Keep tokens while the cumulative mass *before* them is < top_p
-    # (always keeps the top token).
-    keep = (cum - sorted_probs) < top_ps[:, None]
-    filtered_sorted = jnp.where(keep, sorted_logits, NEG_INF)
+    # Per-row top-p. Fast path: the top-p nucleus almost always lives in
+    # the top-K logits (K=128), so sort only those via lax.top_k instead of
+    # argsorting the whole vocab (~2.6 ms/step at (8, 32k) on v5e). Rows
+    # with top_p >= 1 sample the untruncated distribution via the Gumbel
+    # trick (no sort at all). The full-vocab sort survives only as a
+    # lax.cond fallback for the rare row whose top-K mass doesn't cover its
+    # top_p (near-uniform distribution at high temperature).
+    def row_gumbel(shape_v):
+        if row_keys is not None:
+            return jax.vmap(
+                lambda k: jax.random.gumbel(k, (shape_v,), dtype=jnp.float32)
+            )(row_keys)
+        return jax.random.gumbel(key, (b, shape_v), dtype=jnp.float32)
 
-    if row_keys is not None:
-        gumbel = jax.vmap(
-            lambda k: jax.random.gumbel(k, (v,), dtype=jnp.float32)
-        )(row_keys)
-    else:
-        gumbel = jax.random.gumbel(key, (b, v), dtype=jnp.float32)
-    sampled_pos = jnp.argmax(filtered_sorted + gumbel, axis=-1)
-    sampled = jnp.take_along_axis(sort_idx, sampled_pos[:, None], axis=-1)[:, 0]
+    k_cand = min(128, v)
+    topv, topi = jax.lax.top_k(scaled, k_cand)  # (B, K) sorted desc
+    lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+    probs_k = jnp.exp(topv - lse)  # mass under the FULL distribution
+    cum = jnp.cumsum(probs_k, axis=-1)
+    wants_full = top_ps >= 1.0
+    covered = wants_full | (cum[:, -1] >= top_ps)
+
+    def fast_path():
+        keep = (cum - probs_k) < top_ps[:, None]
+        filtered = jnp.where(keep, topv, NEG_INF)
+        g = row_gumbel(v)
+        pos = jnp.argmax(filtered + g[:, :k_cand], axis=-1)
+        cand = jnp.take_along_axis(topi, pos[:, None], axis=-1)[:, 0]
+        full_samp = jnp.argmax(scaled + g, axis=-1)
+        return jnp.where(wants_full, full_samp, cand)
+
+    def slow_path():
+        sort_idx = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum_s = jnp.cumsum(sorted_probs, axis=-1)
+        # Keep tokens while the cumulative mass *before* them is < top_p
+        # (always keeps the top token).
+        keep = (cum_s - sorted_probs) < top_ps[:, None]
+        filtered_sorted = jnp.where(keep, sorted_logits, NEG_INF)
+        gumbel = row_gumbel(v)
+        sampled_pos = jnp.argmax(filtered_sorted + gumbel, axis=-1)
+        return jnp.take_along_axis(
+            sort_idx, sampled_pos[:, None], axis=-1
+        )[:, 0]
+
+    sampled = jax.lax.cond(jnp.all(covered), fast_path, slow_path)
 
     greedy = jnp.argmax(logits, axis=-1)
     tokens = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
