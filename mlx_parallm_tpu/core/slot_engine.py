@@ -499,6 +499,106 @@ class SlotEngine:
             self._pending_cancel[slot] = False
         self.metrics["admitted_total"] += 1
 
+    def _dispatch_chunk(self, margin: int = 1):
+        """Dispatch one device decode chunk from the current slot state.
+        Returns (toks_device, dispatch_t0). ``margin`` is how many chunks
+        of KV growth beyond the host-known lengths the static hot window
+        must cover (2 when a previous chunk is still in flight)."""
+        # Static sampler fast path over the OCCUPIED slots (free slots
+        # keep stale params); at most 3 jit variants total.
+        live = [r.params for r in self._slot_req if r is not None]
+        if all(p.temperature <= 0 for p in live):
+            sampler_mode = "greedy"
+        elif all(p.top_p >= 1.0 for p in live):
+            sampler_mode = "temp"
+        else:
+            sampler_mode = "topp"
+
+        # Static KV hot window: attention reads only the first s_hot slab
+        # positions this chunk (longest live sequence + chunk growth).
+        live_len = [
+            self._slot_len[i]
+            for i, r in enumerate(self._slot_req)
+            if r is not None
+        ]
+        s_hot = _hot_bucket(
+            max(live_len) + margin * self.chunk + 1, self.capacity
+        )
+
+        t0 = time.perf_counter()
+        (
+            toks, lps, self._last_tokens, self._active, self._counts,
+            self._keys, self._cache, self._token_counts,
+        ) = self._decode_chunk(
+            self.model.params,
+            self._cache,
+            self._last_tokens,
+            self._active,
+            self._counts,
+            self._max_toks,
+            self._temps,
+            self._top_ps,
+            self._keys,
+            self._eos_arr,
+            self._token_counts,
+            self._presence,
+            self._frequency,
+            self._repetition,
+            self.chunk,
+            sampler_mode,
+            s_hot,
+        )
+        return toks, t0
+
+    def _drain_chunk(self, chunk_handle, eos_ids) -> None:
+        """Pull one chunk's tokens to the host and run callbacks/bookkeeping."""
+        toks, t0 = chunk_handle
+        toks_host = np.asarray(jax.device_get(toks))  # (S, B)
+        dt = time.perf_counter() - t0
+
+        n_emitted = 0
+        for s in range(toks_host.shape[0]):
+            for slot in range(self.num_slots):
+                req = self._slot_req[slot]
+                if req is None:
+                    continue
+                tid = int(toks_host[s, slot])
+                if tid < 0:
+                    continue
+                self._slot_generated[slot] += 1
+                # Each emitted token appended one KV position for this
+                # slot; keep the host length mirror in sync so the next
+                # chunk's hot-window bound (s_hot) covers the live KV.
+                # (Stale lengths silently dropped KV writes once
+                # prompt+generated crossed the admission-time bucket.)
+                # Cancelled-but-not-yet-applied slots keep counting:
+                # follower processes don't learn of the cancel until the
+                # next broadcast, and their length mirrors (which feed
+                # the static s_hot bound) must stay identical.
+                self._slot_len[slot] += 1
+                n_emitted += 1
+                finish = None
+                if tid in eos_ids:
+                    finish = "stop"
+                elif self._slot_generated[slot] >= req.params.max_tokens:
+                    finish = "length"
+                if req.on_token is not None and not self._pending_cancel[slot]:
+                    keep = req.on_token(tid, finish)
+                    if keep is False and not finish:
+                        # Host-side cancel (stop sequence / client
+                        # disconnect): recorded now, applied on every
+                        # process at the next driver iteration.
+                        self._pending_cancel[slot] = True
+                if finish:
+                    self._slot_req[slot] = None
+                    self._pending_cancel[slot] = False
+
+        self.metrics["decode_tokens_total"] += n_emitted
+        self.metrics["decode_time_total"] += dt
+        self.metrics["active_slots"] = sum(
+            1 for r in self._slot_req if r is not None
+        )
+
     def _run(self):
         """Driver entry: the loop body lives in ``_run_loop``; any
         unhandled failure (a collective erroring on peer loss, a device
@@ -568,93 +668,31 @@ class SlotEngine:
             ):
                 continue
 
-            # Static sampler fast path over the OCCUPIED slots (free slots
-            # keep stale params); at most 3 jit variants total.
-            live = [r.params for r in self._slot_req if r is not None]
-            if all(p.temperature <= 0 for p in live):
-                sampler_mode = "greedy"
-            elif all(p.top_p >= 1.0 for p in live):
-                sampler_mode = "temp"
-            else:
-                sampler_mode = "topp"
-
-            # Static KV hot window: attention reads only the first s_hot slab
-            # positions this chunk (longest live sequence + chunk growth).
-            live_len = [
-                self._slot_len[i]
-                for i, r in enumerate(self._slot_req)
-                if r is not None
-            ]
-            s_hot = _hot_bucket(
-                max(live_len) + self.chunk + 1, self.capacity
-            )
-
-            t0 = time.perf_counter()
-            (
-                toks, lps, self._last_tokens, self._active, self._counts,
-                self._keys, self._cache, self._token_counts,
-            ) = self._decode_chunk(
-                self.model.params,
-                self._cache,
-                self._last_tokens,
-                self._active,
-                self._counts,
-                self._max_toks,
-                self._temps,
-                self._top_ps,
-                self._keys,
-                self._eos_arr,
-                self._token_counts,
-                self._presence,
-                self._frequency,
-                self._repetition,
-                self.chunk,
-                sampler_mode,
-                s_hot,
-            )
-            toks_host = np.asarray(jax.device_get(toks))  # (S, B)
-            dt = time.perf_counter() - t0
-
-            n_emitted = 0
-            for s in range(toks_host.shape[0]):
-                for slot in range(self.num_slots):
-                    req = self._slot_req[slot]
-                    if req is None:
-                        continue
-                    tid = int(toks_host[s, slot])
-                    if tid < 0:
-                        continue
-                    self._slot_generated[slot] += 1
-                    # Each emitted token appended one KV position for this
-                    # slot; keep the host length mirror in sync so the next
-                    # chunk's hot-window bound (s_hot) covers the live KV.
-                    # (Stale lengths silently dropped KV writes once
-                    # prompt+generated crossed the admission-time bucket.)
-                    # Cancelled-but-not-yet-applied slots keep counting:
-                    # follower processes don't learn of the cancel until the
-                    # next broadcast, and their length mirrors (which feed
-                    # the static s_hot bound) must stay identical.
-                    self._slot_len[slot] += 1
-                    n_emitted += 1
-                    finish = None
-                    if tid in eos_ids:
-                        finish = "stop"
-                    elif self._slot_generated[slot] >= req.params.max_tokens:
-                        finish = "length"
-                    if req.on_token is not None and not self._pending_cancel[slot]:
-                        keep = req.on_token(tid, finish)
-                        if keep is False and not finish:
-                            # Host-side cancel (stop sequence / client
-                            # disconnect): recorded now, applied on every
-                            # process at the next driver iteration.
-                            self._pending_cancel[slot] = True
-                    if finish:
-                        self._slot_req[slot] = None
-                        self._pending_cancel[slot] = False
-
-            self.metrics["decode_tokens_total"] += n_emitted
-            self.metrics["decode_time_total"] += dt
-            self.metrics["active_slots"] = sum(
-                1 for r in self._slot_req if r is not None
-            )
+            # Decode until new work arrives. Single-process mode
+            # speculatively dispatches chunk N+1 before draining chunk N to
+            # the host (mirroring DecodeEngine's lookahead) so the device
+            # never idles on callback processing; multi-process mode stays
+            # strictly command-driven (one chunk per broadcast iteration).
+            spec = self._dispatch_chunk(margin=1)
+            while True:
+                cur = spec
+                spec = None
+                can_spec = (
+                    not sync.multi
+                    and not self._stop.is_set()
+                    and self._submit_q.empty()
+                    and not any(self._pending_cancel)
+                )
+                if can_spec:
+                    # Host length mirrors lag by the in-flight chunk, so
+                    # the hot window covers one extra chunk of growth.
+                    spec = self._dispatch_chunk(margin=2)
+                self._drain_chunk(cur, eos_ids)
+                if spec is None:
+                    break
+                if not any(r is not None for r in self._slot_req):
+                    # Everything finished while the speculative chunk was
+                    # in flight: drain it (emits nothing) and go idle.
+                    self._drain_chunk(spec, eos_ids)
+                    break
         logger.info("SlotEngine stopped")

@@ -141,8 +141,17 @@ def cached_attention(
 
     k, v, k_scale, v_scale = cache.layer_raw(layer)
     t = q.shape[1]
+    # Kernel-launch overhead makes the Pallas path a net loss on tiny hot
+    # windows (measured ~6% end-to-end at S=256 on v5e); XLA's fused
+    # attention is fine there. The kernel wins from ~1k positions up
+    # (earlier for int8, whose XLA path must materialize a dequantized
+    # slab every layer read).
+    min_s = int(os.environ.get("MLX_PARALLM_FLASH_MIN_S", 1024))
+    if k_scale is not None:
+        min_s = min(min_s, 512)
     use_flash = (
         t == 1
+        and k.shape[2] >= min_s
         and jax.default_backend() == "tpu"
         and os.environ.get("MLX_PARALLM_NO_FLASH") != "1"
         and FD.supported(q, k, cache.lengths)
