@@ -40,7 +40,7 @@ def main():
     ) * 4
 
     times = {}
-    for reps in (1, 2, 4):
+    for reps, unroll in ((1, 1), (2, 1), (4, 1), (1, 4), (1, 8)):
 
         def body(carry, _):
             x = carry
@@ -49,7 +49,9 @@ def main():
             return x, None
 
         f = jax.jit(
-            lambda x: jax.lax.scan(body, x, None, length=ITERS)[0]
+            lambda x: jax.lax.scan(
+                body, x, None, length=ITERS, unroll=unroll
+            )[0]
         )
         x0 = jnp.ones((batch, 4096), jnp.bfloat16)
         r = f(x0)
@@ -58,8 +60,9 @@ def main():
         r = f(x0)
         jax.block_until_ready(r)
         t = (time.perf_counter() - t0) / ITERS
-        times[reps] = t
-        print(f"reps={reps}: {t*1e3:.3f} ms/iter")
+        if unroll == 1:
+            times[reps] = t
+        print(f"reps={reps} unroll={unroll}: {t*1e3:.3f} ms/iter")
 
     slope = (times[4] - times[1]) / 3
     intercept = times[1] - slope

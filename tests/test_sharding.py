@@ -103,3 +103,23 @@ def test_partition_specs():
     assert M.partition_spec_for(
         "model.layers.0.self_attn.q_proj.lora_a"
     ) == P()
+
+
+def test_shard_cache_quantized():
+    """Quantized KV slabs shard like float ones: heads over tp on both the
+    int8 slabs and the scale planes; lengths replicated."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from mlx_parallm_tpu.models.base import QuantizedKVCache
+
+    mesh = M.make_mesh(tp=8, dp=1)
+    cache = QuantizedKVCache.init(2, 4, 64, 8, 16)
+    sharded = M.shard_cache(cache, mesh)
+    assert sharded.k.sharding.spec == P(None, "dp", "tp", None, None)
+    assert sharded.k_scale.sharding.spec == P(None, "dp", "tp", None)
+    assert sharded.lengths.sharding.spec == P()
+    # Heads not divisible by tp: replicate instead of erroring.
+    cache3 = QuantizedKVCache.init(2, 4, 64, 3, 16)
+    sharded3 = M.shard_cache(cache3, mesh)
+    assert sharded3.k.sharding.spec == P(None, "dp", None, None, None)
