@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="KV cache precision: 8 = INT8-quantized KV (half memory)",
     )
     p.add_argument(
+        "--slot-context-length",
+        type=int,
+        default=4096,
+        help="Continuous scheduler: KV slab capacity per decode slot "
+        "(slab memory scales with max-batch-size x this)",
+    )
+    p.add_argument(
         "--tp",
         type=int,
         default=None,
@@ -76,6 +83,7 @@ def args_from_namespace(ns: argparse.Namespace) -> ServerArgs:
         diverse_mode=ns.diverse_mode,
         max_context_length=ns.max_context_length,
         kv_bits=ns.kv_bits,
+        slot_context_length=ns.slot_context_length,
         tp=ns.tp,
         dp=ns.dp,
         coordinator=ns.coordinator,

@@ -80,6 +80,10 @@ class ServerArgs:
     diverse_mode: bool = False
     max_context_length: int = 32768
     kv_bits: int = 16
+    # Continuous-scheduler KV slab capacity per slot (slab memory =
+    # num_slots * this; bounded separately from the request-validation
+    # max_context_length). Must match across hosts in a multi-host run.
+    slot_context_length: int = 4096
     # --- distributed serving (north star; absent from the reference) ---
     # tp/dp: tensor-/data-parallel mesh axes over the local (or global,
     # when multi-process) devices. None/1 = single-chip.
@@ -124,6 +128,9 @@ class ServerArgs:
                 os.environ.get("MAX_CONTEXT_LENGTH", 32768)
             ),
             kv_bits=int(os.environ.get("KV_BITS", 16)),
+            slot_context_length=int(
+                os.environ.get("MLX_PARALLM_SLOT_CONTEXT", 4096)
+            ),
             tp=(
                 int(os.environ["MLX_PARALLM_TP"])
                 if "MLX_PARALLM_TP" in os.environ
@@ -1084,7 +1091,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         model,
         tok,
         num_slots=args.max_batch_size,
-        max_context_length=min(args.max_context_length, 4096),
+        max_context_length=min(args.max_context_length, args.slot_context_length),
         kv_bits=args.kv_bits,
     )
     engine.start()
@@ -1347,7 +1354,7 @@ def run_follower(args: ServerArgs) -> None:
         model,
         tokenizer,
         num_slots=args.max_batch_size,
-        max_context_length=min(args.max_context_length, 4096),
+        max_context_length=min(args.max_context_length, args.slot_context_length),
         kv_bits=args.kv_bits,
         mesh=mesh,
     )

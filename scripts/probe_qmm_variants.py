@@ -56,7 +56,7 @@ def kernel_groupdots(xe_ref, xo_ref, w_ref, s_ref, out_ref, *, reps, gb):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sc = s_ref[gi : gi + 1, :].astype(jnp.float32)  # (1, NT)
+        sc = s_ref[0, gi : gi + 1, :].astype(jnp.float32)  # (1, NT)
         contrib = (pe + po) * sc
         acc = contrib if acc is None else acc + contrib
     out_ref[:] = acc
@@ -80,21 +80,19 @@ def run_variant(name, kernel, mt, x_cols):
             pl.BlockSpec((mt, x_cols), lambda i, j: (i, 0)),
             pl.BlockSpec((mt, x_cols), lambda i, j: (i, 0)),
             pl.BlockSpec((1, KW_T, NT), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((K // GS, NT), lambda i, j: (0, j)),
+            pl.BlockSpec((1, K // GS, NT), lambda i, j: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((mt, NT), lambda i, j: (i, j)),
     )
+    def body(c, _):
+        new = (f(c[0], c[1], w, s3)[:, :x_cols] * 1e-9 + c[0]).astype(
+            jnp.bfloat16
+        )
+        return (new, c[1]), None
+
     jf = jax.jit(
         lambda xe, xo, w, s3: jax.lax.scan(
-            lambda c, _: (
-                (f(c[0], c[1], w, s3)[:, :x_cols] * 1e-9 + c[0]).astype(
-                    jnp.bfloat16
-                ),
-                c[1],
-            ),
-            (xe, xo),
-            None,
-            length=ITERS,
+            body, (xe, xo), None, length=ITERS
         )[0][0]
     )
     r = jf(xe, xo, w, s3)
