@@ -101,14 +101,30 @@ def build_random_quantized_llama(
                 },
             }
         )
+    # Quantized embeddings, as real MLX 4-bit checkpoints ship them: the
+    # packed form serves the gather; the "wk" kernel mirror serves the
+    # tied lm_head projection through the fused dequant-matmul (int4 read
+    # instead of a bf16 (V, H) stream every step).
+    e1, e2, e3 = jax.random.split(keys[-2], 3)
+    g_e = hidden // group_size
+    emb_packed = jax.random.bits(e1, (vocab, hidden // per_word), jnp.uint32)
+    emb = {
+        "weight": emb_packed,
+        "scales": (
+            jax.random.uniform(e2, (vocab, g_e), jnp.float32) * 0.002 + 0.0001
+        ).astype(jnp.bfloat16),
+        "biases": (
+            jax.random.uniform(e3, (vocab, g_e), jnp.float32) * 0.002 - 0.016
+        ).astype(jnp.bfloat16),
+    }
+    emb_nt = quant.choose_n_tile(hidden, vocab, bits, group_size=group_size)
+    if emb_nt is not None:
+        emb["wk"] = quant.tile_kernel(
+            quant.kernel_pack(emb_packed, group_size, bits), emb_nt
+        )
     params = {
         "model": {
-            "embed_tokens": {
-                "weight": (
-                    jax.random.normal(keys[-2], (vocab, hidden), jnp.bfloat16)
-                    * 0.02
-                )
-            },
+            "embed_tokens": emb,
             "layers": layer_list,
             "norm": {"weight": jnp.ones(hidden, jnp.bfloat16)},
         }
@@ -207,11 +223,15 @@ def main() -> int:
     # batch / floor_time; roofline_pct is the fraction of that bound
     # actually achieved (VERDICT r1 #3/#10: report the % per round).
     HBM_PEAK = 819e9
-    import jax as _jax
+    from mlx_parallm_tpu.core import params as _P
 
+    flat_params = _P.flatten(model.params)
     weight_bytes = sum(
         leaf.size * leaf.dtype.itemsize
-        for leaf in _jax.tree_util.tree_leaves(model.params)
+        for name, leaf in flat_params.items()
+        # The packed embedding serves the (tiny) prompt gather only; the
+        # decode step streams its "wk" mirror through the lm_head instead.
+        if not name.endswith("embed_tokens.weight")
     )
     floor_s = weight_bytes / HBM_PEAK
     sol_b8 = args.batch / floor_s

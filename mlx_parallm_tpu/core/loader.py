@@ -170,10 +170,15 @@ def load_model(
             # For each packed linear build the fast-path mirror: on TPU the
             # fused-kernel layout ("wk", consumed by the Pallas dequant-matmul
             # when shapes align), otherwise an unpacked int8 mirror ("q8") for
-            # the XLA grouped matmul. Embeddings (consumed by gather) keep
-            # only the packed form.
+            # the XLA grouped matmul. Quantized embeddings keep the packed
+            # form for the gather path AND get the TPU kernel mirror so the
+            # tied-embedding lm_head projection (embedding_as_linear) runs
+            # the fused kernel instead of dequantizing (V, H) every step —
+            # but skip the int8 mirror (it would double embedding memory
+            # for a matmul only the TPU path cares about).
             if name.endswith(".weight") and name[: -len(".weight")] + ".scales" in flat:
-                if "embed_tokens" in name:
+                is_embedding = "embed_tokens" in name
+                if is_embedding and jax.default_backend() != "tpu":
                     continue
                 base = name[: -len(".weight")]
                 arr = flat[name]
@@ -197,7 +202,7 @@ def load_model(
                         ):
                             flat[base + ".wk"] = wk
                             built = True
-                if not built and arr.ndim == 2:
+                if not built and arr.ndim == 2 and not is_embedding:
                     flat[base + ".q8"] = quant.unpack(arr, bits)
                 if arr.ndim == 3:
                     # Stacked MoE expert weights (E, N, Kw packed). Build
