@@ -173,11 +173,13 @@ def kernel_pack(
     return pack(q_kernel, bits).reshape(kw, n)  # (Kw, N) uint32
 
 
-# N-tile candidates for the tiled kernel layout, largest first. Bigger tiles
-# mean longer contiguous DMA bursts (one (Kw, NT) block is a single
-# sequential HBM read); measured on v5e: NT=2048 streams ~25% faster than
-# the strided 2D layout. 256 is the kernel's lane-width floor.
-_N_TILE_CANDIDATES = (2048, 1024, 512, 256)
+# N-tile candidates for the tiled kernel layout. Bigger tiles mean longer
+# contiguous DMA bursts (one (Kw, NT) block is a single sequential HBM
+# read); measured on v5e: tiled layouts stream ~25% faster than the
+# strided 2D layout, and NT=1024 edges out 2048 (~3% at decode m=16 —
+# smaller double-buffered blocks overlap better). 256 is the kernel's
+# lane-width floor.
+_N_TILE_CANDIDATES = (1024, 2048, 512, 256)
 
 
 def choose_n_tile(

@@ -96,14 +96,13 @@ def test_tile_untile_roundtrip():
 def test_choose_n_tile_properties():
     from mlx_parallm_tpu.ops import quant
 
-    # Picks the largest candidate dividing N.
-    assert quant.choose_n_tile(4096, 28672, 4) == 2048
+    # Picks the preferred candidate dividing N (1024 measured fastest).
+    assert quant.choose_n_tile(4096, 28672, 4) == 1024
     assert quant.choose_n_tile(4096, 32000, 4) == 256  # 32000 % 512 != 0
     assert quant.choose_n_tile(4096, 100, 4) is None  # below lane floor
     # Shard-aware: N/nt must stay divisible by n_shards.
     assert quant.choose_n_tile(4096, 28672, 4, n_shards=8) == 512  # 28672/512=56
-    # tp=4: NT=2048 gives T=14 (not divisible) so a smaller tile is chosen
-    # instead of silently replicating the layer across shards.
+    # tp=4 also divides the NT=1024 tile count evenly.
     assert quant.choose_n_tile(4096, 28672, 4, n_shards=4) == 1024  # T=28
     # Any chosen tile must pass the kernel's own feasibility gate (the chooser
     # uses qmm_pallas._kw_tile, so chosen layouts are never rejected later).
