@@ -358,12 +358,23 @@ class DecodeEngine:
             feed = tokens_np
 
         t0 = time.perf_counter()
-        last_logits, cache = self._prefill(
-            self.model.params,
-            jnp.asarray(feed),
-            jnp.asarray(lengths_np),
-            cache,
+        prefill_chunk = int(
+            os.environ.get("MLX_PARALLM_PREFILL_CHUNK", 2048)
         )
+        # (Chunking assumes feed position == absolute position; a prefix
+        # hit feeds lcp-relative suffixes, which are short — keep those
+        # monolithic.)
+        if feed.shape[1] > prefill_chunk and not prefix_hit:
+            last_logits, cache = self._prefill_chunked(
+                feed, lengths_np, cache, prefill_chunk
+            )
+        else:
+            last_logits, cache = self._prefill(
+                self.model.params,
+                jnp.asarray(feed),
+                jnp.asarray(lengths_np),
+                cache,
+            )
         if (
             self.prefix_cache is not None
             and not prefix_hit
@@ -568,6 +579,47 @@ class DecodeEngine:
         self.metrics["completion_tokens_total"] += n_completion
         self.metrics["decode_time_total"] += decode_time
         self.metrics["last_decode_tps"] = n_completion / max(decode_time, 1e-9)
+
+    def _prefill_chunked(self, feed, lengths_np, cache, chunk: int):
+        """Long-prompt prefill in fixed-size chunks through the SAME jitted
+        ``_prefill`` (one extra shape variant), bounding prefill attention
+        memory: a monolithic T-token prefill materializes O(T^2) score
+        tensors, a chunked one O(chunk * T). Mirrors the reference's
+        chunked echo forwards (reference server/main.py:481-527), applied
+        to the serving prefill itself.
+
+        Rows whose prompt ends inside an earlier chunk contribute padding
+        to later chunks; their garbage KV lands past their final length
+        (masked by attention validity, overwritten on decode) and their
+        last-token logits are captured from the chunk they end in."""
+        b_pad, t_pad = feed.shape
+        last_logits = None
+        pos = 0
+        while pos < t_pad:
+            # Exact-size final chunk (never pad past t_pad: a row that
+            # already ended receives later chunks as garbage writes at its
+            # own offset, and those must stay <= t_pad <= capacity).
+            sz = min(chunk, t_pad - pos)
+            seg = feed[:, pos : pos + sz]
+            # Absolute per-row valid end after this chunk (rows already
+            # ended keep their true length; their garbage KV lands past it
+            # and stays masked).
+            seg_end = np.minimum(lengths_np, pos + sz).astype(np.int32)
+            chunk_last, cache = self._prefill(
+                self.model.params,
+                jnp.asarray(seg),
+                jnp.asarray(seg_end),
+                cache,
+            )
+            ends_here = (lengths_np > pos) & (lengths_np <= pos + sz)
+            if last_logits is None:
+                last_logits = chunk_last
+            else:
+                last_logits = jnp.where(
+                    jnp.asarray(ends_here)[:, None], chunk_last, last_logits
+                )
+            pos += sz
+        return last_logits, cache
 
     # ------------------------------------------------------------ prompt lp
 

@@ -188,3 +188,37 @@ def test_decode_across_hot_window_bucket(tiny_model_dir):
     t16 = run(16)
     assert len(t4) == 150
     assert t4 == t16
+
+
+def test_chunked_prefill_matches_monolithic(tiny_model_dir, monkeypatch):
+    """Long prompts prefill in fixed chunks (bounding O(T^2) attention
+    memory); tokens must match the one-shot prefill exactly, including
+    ragged rows that end inside different chunks (and one shorter than the
+    first chunk)."""
+    model, tok = loader.load(tiny_model_dir)
+    base = tok.encode("The quick brown fox jumps over the lazy dog. ")
+    prompts = [
+        (base * 60)[:530],  # ends in chunk 3
+        (base * 60)[:100],  # ends in chunk 1
+        (base * 60)[:256],  # ends exactly at a chunk boundary
+        (base * 60)[:300],  # ends in chunk 2
+    ]
+    sp = [SamplingParams(temperature=0.0, max_tokens=6) for _ in prompts]
+
+    def run():
+        eng = DecodeEngine(
+            model, tok, max_batch_size=4, max_context_length=1024,
+            disable_prefix_cache=True,
+        )
+        out = [[] for _ in prompts]
+        for step in eng.decode_batch(prompts, sp):
+            for i, t in enumerate(step.tokens):
+                if t is not None:
+                    out[i].append(t)
+        return out
+
+    monkeypatch.setenv("MLX_PARALLM_PREFILL_CHUNK", "100000")  # monolithic
+    mono = run()
+    monkeypatch.setenv("MLX_PARALLM_PREFILL_CHUNK", "256")  # chunked
+    chunked = run()
+    assert chunked == mono
