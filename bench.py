@@ -75,7 +75,8 @@ def build_random_quantized_llama(
         )
         scales = (jax.random.uniform(k2, (out_f, g), jnp.float32) * 0.02 + 0.001).astype(jnp.bfloat16)
         biases = (jax.random.uniform(k3, (out_f, g), jnp.float32) * 0.02 - 0.16).astype(jnp.bfloat16)
-        return {"wk": wk, "scales": scales, "biases": biases}
+        sk, bk = quant.kernel_scale_mirrors(scales, biases, bits)
+        return {"wk": wk, "scales": scales, "biases": biases, "sk": sk, "bk": bk}
 
     head_dim = hidden // heads
     keys = jax.random.split(key, layers + 2)
@@ -122,6 +123,9 @@ def build_random_quantized_llama(
         emb["wk"] = quant.tile_kernel(
             quant.kernel_pack(emb_packed, group_size, bits), emb_nt
         )
+        emb["sk"], emb["bk"] = quant.kernel_scale_mirrors(
+            emb["scales"], emb["biases"], bits
+        )
     params = {
         "model": {
             "embed_tokens": emb,
@@ -153,6 +157,14 @@ def main() -> int:
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup-steps", type=int, default=16)
+    ap.add_argument(
+        "--skip-big", action="store_true",
+        help="skip the batch-32 throughput configuration (probe runs)",
+    )
+    ap.add_argument(
+        "--skip-extras", action="store_true",
+        help="skip the long-context flash and 14B configurations",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -215,8 +227,51 @@ def main() -> int:
             pass
         return engine_big.metrics["last_decode_tps"]
 
-    run_big(args.steps)  # warmup at identical shapes (see above)
-    big_tps = run_big(args.steps)
+    if args.skip_big:
+        big_tps = 0.0
+    else:
+        run_big(args.steps)  # warmup at identical shapes (see above)
+        big_tps = run_big(args.steps)
+
+    # ------------------------------------------------------ long-context
+    # Flash-decode configuration (VERDICT r2 #2): b8, prompt 2048, INT8 KV.
+    # The decode hot window (>=2k positions) exceeds the flash gate, so
+    # every recorded decode step runs the Pallas flash kernel with fused
+    # int8-KV reads; FLASH_DISPATCHES asserts it's on the compiled path.
+    long_tps = 0.0
+    flash_used = False
+    if not args.skip_extras:
+        import os as _os
+
+        from mlx_parallm_tpu.ops import attention as ATT
+
+        prompt_long = 2048
+        steps_long = 96
+        engine_long = DecodeEngine(
+            model, tok, max_batch_size=args.batch,
+            max_context_length=4096, kv_bits=8, decode_steps_per_call=16,
+        )
+        prompts_long = [
+            [int(x) for x in rng.integers(1, 30000, size=prompt_long)]
+            for _ in range(args.batch)
+        ]
+        # Bound chunked-prefill score memory at this prompt length.
+        _os.environ.setdefault("MLX_PARALLM_PREFILL_CHUNK", "512")
+
+        def run_long():
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=steps_long)
+                for _ in range(args.batch)
+            ]
+            for _ in engine_long.decode_batch(prompts_long, sp):
+                pass
+            return engine_long.metrics["last_decode_tps"]
+
+        n0 = ATT.FLASH_DISPATCHES
+        run_long()  # warmup at identical shapes
+        long_tps = run_long()
+        flash_used = ATT.FLASH_DISPATCHES > n0
+        del engine_long, prompts_long
 
     # Roofline: the decode step floor is streaming every (packed) weight
     # byte once per step at peak HBM bandwidth (v5e ~819 GB/s). SOL tok/s =
@@ -226,18 +281,114 @@ def main() -> int:
     from mlx_parallm_tpu.core import params as _P
 
     flat_params = _P.flatten(model.params)
+
+    def _streamed(name: str) -> bool:
+        # Count only what the decode step actually reads each step: the
+        # packed embedding serves the (tiny) prompt gather — the decode
+        # step streams its "wk" mirror through the lm_head instead — and
+        # when the pre-transposed "sk"/"bk" mirrors exist, the original
+        # (N, G) scales/biases are dead args (XLA DCE), not streamed.
+        if name.endswith("embed_tokens.weight"):
+            return False
+        base, _, leaf = name.rpartition(".")
+        if leaf in ("scales", "biases") and (base + ".sk") in flat_params:
+            return False
+        return True
+
     weight_bytes = sum(
         leaf.size * leaf.dtype.itemsize
         for name, leaf in flat_params.items()
-        # The packed embedding serves the (tiny) prompt gather only; the
-        # decode step streams its "wk" mirror through the lm_head instead.
-        if not name.endswith("embed_tokens.weight")
+        if _streamed(name)
     )
     floor_s = weight_bytes / HBM_PEAK
     sol_b8 = args.batch / floor_s
     sol_b32 = big_batch / floor_s
 
+    # ------------------------------------------------------------- 14B
+    # North-star model class (BASELINE.md): 14B-class dims (VERDICT r2 #7:
+    # hidden 5120 / 48 layers / GQA 40:8 / ffn 13824), INT4 — ~7 GB packed,
+    # fits one v5e chip alongside its KV slab. The 7B engines are freed
+    # first so both models never coexist in HBM.
+    tps_14b = 0.0
+    sol_14b = 0.0
+    if not args.skip_extras:
+        import gc
+
+        del engine, engine_big, model, flat_params
+        gc.collect()
+        model14 = build_random_quantized_llama(
+            hidden=5120, layers=48, heads=40, kv_heads=8, ffn=13824,
+            vocab=32000,
+        )
+        engine14 = DecodeEngine(
+            model14, tok, max_batch_size=args.batch, max_context_length=4096
+        )
+        prompts14 = [
+            [int(x) for x in rng.integers(1, 30000, size=128)]
+            for _ in range(args.batch)
+        ]
+        steps14 = 64
+
+        def run_14b():
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=steps14)
+                for _ in range(args.batch)
+            ]
+            for _ in engine14.decode_batch(prompts14, sp):
+                pass
+            return engine14.metrics["last_decode_tps"]
+
+        run_14b()  # warmup at identical shapes
+        tps_14b = run_14b()
+        flat14 = _P.flatten(model14.params)
+
+        def _streamed14(name: str) -> bool:
+            if name.endswith("embed_tokens.weight"):
+                return False
+            base, _, leaf = name.rpartition(".")
+            if leaf in ("scales", "biases") and (base + ".sk") in flat14:
+                return False
+            return True
+
+        wb14 = sum(
+            leaf.size * leaf.dtype.itemsize
+            for name, leaf in flat14.items()
+            if _streamed14(name)
+        )
+        sol_14b = args.batch / (wb14 / HBM_PEAK)
+
     value = round(max(decode_tps, big_tps), 2)
+    extra = {
+        "decode_tok_s_batch8": round(decode_tps, 2),
+        "decode_tok_s_batch32": round(big_tps, 2),
+        "ttft_s_b8_p128": round(ttft, 4),
+        "e2e_tok_s_b8": round(total_tps, 2),
+        "layers": args.layers,
+        "weight_gb": round(weight_bytes / 1e9, 3),
+        "sol_tok_s_b8": round(sol_b8, 1),
+        "sol_tok_s_b32": round(sol_b32, 1),
+        "roofline_pct_b8": round(100 * decode_tps / sol_b8, 1),
+        "roofline_pct_b32": round(100 * big_tps / sol_b32, 1),
+    }
+    if not args.skip_extras:
+        extra.update(
+            {
+                # b8 decode at 2k-token context, INT8 KV, flash kernel on
+                # the compiled hot path (asserted via FLASH_DISPATCHES).
+                "decode_tok_s_b8_ctx2k_int8kv": round(long_tps, 2),
+                "flash_kernel_used": bool(flash_used),
+                # 14B-class INT4 single chip (reference headline model
+                # class: 59.4 tok/s batch-8 on Apple Silicon).
+                "decode_tok_s_14b_b8": round(tps_14b, 2),
+                "sol_tok_s_14b_b8": round(sol_14b, 1),
+                "roofline_pct_14b_b8": round(
+                    100 * tps_14b / sol_14b, 1
+                ) if sol_14b else 0.0,
+                "vs_baseline_14b": round(
+                    tps_14b / REFERENCE_BASELINE_TOK_S, 3
+                ),
+            }
+        )
     print(
         json.dumps(
             {
@@ -245,18 +396,7 @@ def main() -> int:
                 "value": value,
                 "unit": "tok/s",
                 "vs_baseline": round(value / REFERENCE_BASELINE_TOK_S, 3),
-                "extra": {
-                    "decode_tok_s_batch8": round(decode_tps, 2),
-                    "decode_tok_s_batch32": round(big_tps, 2),
-                    "ttft_s_b8_p128": round(ttft, 4),
-                    "e2e_tok_s_b8": round(total_tps, 2),
-                    "layers": args.layers,
-                    "weight_gb": round(weight_bytes / 1e9, 3),
-                    "sol_tok_s_b8": round(sol_b8, 1),
-                    "sol_tok_s_b32": round(sol_b32, 1),
-                    "roofline_pct_b8": round(100 * decode_tps / sol_b8, 1),
-                    "roofline_pct_b32": round(100 * big_tps / sol_b32, 1),
-                },
+                "extra": extra,
             }
         )
     )

@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
+# Trace-time counter: incremented whenever cached_attention selects the
+# Pallas flash-decode path while tracing a program. Lets benchmarks/tests
+# assert the kernel is actually on the compiled hot path (VERDICT r2 #2:
+# "assert it in the bench").
+FLASH_DISPATCHES = 0
+
 
 def sdpa(
     q: jnp.ndarray,
@@ -157,6 +163,8 @@ def cached_attention(
         and FD.supported(q, k, cache.lengths)
     )
     if use_flash:
+        global FLASH_DISPATCHES
+        FLASH_DISPATCHES += 1
         return FD.flash_decode(
             q,
             k,
