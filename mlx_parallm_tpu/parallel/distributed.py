@@ -121,6 +121,11 @@ class HostSync:
             out.extend(float(adm[f]) for f in self._ADM_FIELDS)
             out.append(float(len(adm["tokens"])))
             out.extend(float(t) for t in adm["tokens"])
+            bias = adm.get("logit_bias") or []
+            out.append(float(len(bias)))
+            for tid, val in bias:
+                out.append(float(tid))
+                out.append(float(val))
         return np.asarray(out, dtype=np.float64)
 
     def _decode(self, buf: np.ndarray):
@@ -136,6 +141,12 @@ class HostSync:
             n_tok = int(buf[i]); i += 1
             adm["tokens"] = [int(t) for t in buf[i : i + n_tok]]
             i += n_tok
+            n_bias = int(buf[i]); i += 1
+            adm["logit_bias"] = [
+                (int(buf[i + 2 * j]), float(buf[i + 2 * j + 1]))
+                for j in range(n_bias)
+            ] or None
+            i += 2 * n_bias
             admissions.append(adm)
         return admissions
 

@@ -91,6 +91,46 @@ def test_concurrent_admission(slot_setup):
     assert results == solos
 
 
+def test_logit_bias_forces_token_slot(slot_setup):
+    """logit_bias must be honored under the continuous scheduler (the
+    reference applies it on every path, server/main.py:506-513) — and must
+    NOT leak into a later unbiased request that reuses the slot."""
+    model, tok, engine = slot_setup
+    forced = 7
+    done = threading.Event()
+    toks = []
+
+    def on_token(tid, fin):
+        toks.append(tid)
+        if fin:
+            done.set()
+
+    engine.submit(
+        SlotRequest(
+            prompt_tokens=tok.encode("xyz"),
+            params=SamplingParams(
+                temperature=0.0, max_tokens=4, logit_bias={forced: 1000.0}
+            ),
+            on_token=on_token,
+        )
+    )
+    assert done.wait(120)
+    assert toks and all(t == forced for t in toks)
+
+    # Unbiased request afterwards: greedy output must match the plain
+    # DecodeEngine (a leaked bias row would force token 7 again).
+    ids = tok.encode("The quick brown fox")
+    out = _run_request(engine, ids, 6)
+    ref_engine = DecodeEngine(model, tok, disable_prefix_cache=True)
+    ref = []
+    for step in ref_engine.decode_batch(
+        [ids], [SamplingParams(temperature=0.0, max_tokens=6)]
+    ):
+        if step.tokens[0] is not None and step.finished[0] != "stop":
+            ref.append(step.tokens[0])
+    assert out["tokens"] == ref
+
+
 def test_generation_across_hot_window_bucket(tiny_model_dir):
     """Regression: a sequence whose prompt+generated length crosses the
     first 256-position hot-window bucket must keep writing KV (the bug was
@@ -150,6 +190,131 @@ def test_generation_across_hot_window_bucket(tiny_model_dir):
         if step.tokens[0] is not None and step.finished[0] != "stop":
             ref.append(step.tokens[0])
     assert out["tokens"] == ref
+
+
+def _submit_collect(engine, ids, params):
+    """Non-blocking submit; returns (done_event, out_dict)."""
+    done = threading.Event()
+    out = {"tokens": [], "finish": None}
+
+    def on_token(tid, finish):
+        if finish != "stop":
+            out["tokens"].append(tid)
+        if finish:
+            out["finish"] = finish
+            done.set()
+
+    engine.submit(
+        SlotRequest(prompt_tokens=ids, params=params, on_token=on_token)
+    )
+    return done, out
+
+
+def _greedy_ref(model, tok, ids, n):
+    eng = DecodeEngine(model, tok, disable_prefix_cache=True)
+    ref = []
+    for step in eng.decode_batch(
+        [ids], [SamplingParams(temperature=0.0, max_tokens=n)]
+    ):
+        if step.tokens[0] is not None and step.finished[0] != "stop":
+            ref.append(step.tokens[0])
+    return ref
+
+
+def test_batched_admission_dedupes_n_choices(tiny_model_dir):
+    """A burst of n identical prompts must run ONE admission prefill
+    (VERDICT r2 #3: one prefill serving n>1 choices), with per-request RNG
+    streams still independent."""
+    model, tok = loader.load(tiny_model_dir)
+    engine = SlotEngine(
+        model, tok, num_slots=4, max_context_length=256,
+        decode_steps_per_call=4,
+    )
+    ids = tok.encode("The quick brown fox jumps over the lazy dog")
+    waits = [
+        _submit_collect(
+            engine,
+            ids,
+            SamplingParams(temperature=0.8, top_p=0.9, max_tokens=5, seed=i),
+        )
+        for i in range(4)
+    ]
+    engine.start()  # all four queued -> one admission burst
+    try:
+        for done, _ in waits:
+            assert done.wait(180)
+        assert engine.metrics["admitted_total"] == 4
+        assert engine.metrics["admission_prefills_total"] == 1
+        outs = [tuple(o["tokens"]) for _, o in waits]
+        assert all(len(o) >= 1 for o in outs)
+        assert len(set(outs)) > 1, "choices identical despite distinct seeds"
+    finally:
+        engine.stop()
+
+
+def test_batched_admission_greedy_matches_solo(tiny_model_dir):
+    """A burst of DIFFERENT prompts admitted in one batch must produce the
+    same greedy tokens as solo DecodeEngine runs (batched prefill + row
+    insert correctness)."""
+    model, tok = loader.load(tiny_model_dir)
+    engine = SlotEngine(
+        model, tok, num_slots=4, max_context_length=256,
+        decode_steps_per_call=4, disable_prefix_cache=True,
+    )
+    prompts = [
+        tok.encode("The quick brown fox jumps over the lazy dog"),
+        tok.encode("Hello world"),
+        tok.encode("What is 1 + 2?"),
+    ]
+    refs = [_greedy_ref(model, tok, p, 6) for p in prompts]
+    waits = [
+        _submit_collect(
+            engine, p, SamplingParams(temperature=0.0, max_tokens=6)
+        )
+        for p in prompts
+    ]
+    engine.start()
+    try:
+        for done, _ in waits:
+            assert done.wait(180)
+        assert engine.metrics["admission_prefills_total"] == 1
+        assert [o["tokens"] for _, o in waits] == refs
+    finally:
+        engine.stop()
+
+
+def test_slot_prefix_reuse(tiny_model_dir):
+    """Shared-prefix admissions seed from the global prefix-KV LRU
+    (reference utils.py:1206-1279, now in the slot engine too) without
+    changing greedy outputs."""
+    model, tok = loader.load(tiny_model_dir)
+    engine = SlotEngine(
+        model, tok, num_slots=4, max_context_length=512,
+        decode_steps_per_call=4,
+    )
+    base = tok.encode("The quick brown fox jumps over the lazy dog. ") * 10
+    p1 = base[:80] + tok.encode("Hello")
+    p2 = base[:80] + tok.encode("Goodbye friend")
+    p3 = base[:80] + tok.encode("What")
+    refs = [_greedy_ref(model, tok, p, 6) for p in (p1, p2, p3)]
+
+    waits = [
+        _submit_collect(
+            engine, p, SamplingParams(temperature=0.0, max_tokens=6)
+        )
+        for p in (p1, p2)
+    ]
+    engine.start()  # one burst: lcp >= 64 -> snapshot stored
+    try:
+        for done, _ in waits:
+            assert done.wait(180)
+        assert [o["tokens"] for _, o in waits] == refs[:2]
+
+        out3 = _run_request(engine, p3, 6)
+        assert engine.prefix_cache.hits >= 1, "prefix snapshot not reused"
+        assert out3["tokens"] == refs[2]
+    finally:
+        engine.stop()
 
 
 def test_abort_fails_live_requests(tiny_model_dir):
