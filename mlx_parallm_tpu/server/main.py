@@ -467,7 +467,13 @@ async def compute_perplexity(request: web.Request) -> web.Response:
         return _json_error(400, "Text too short to compute perplexity")
     engine: DecodeEngine = rec.engine_instance
     loop = asyncio.get_running_loop()
-    lp, mask = await loop.run_in_executor(None, engine.score_tokens, [ids])
+    try:
+        lp, mask = await loop.run_in_executor(
+            None, engine.score_tokens, [ids]
+        )
+    except ValueError as e:
+        # Context-length guard on the (chunked) scoring path.
+        return _json_error(400, str(e))
     vals = lp[0][mask[0]]
     avg_nll = float(-vals.mean())
     return web.json_response(
@@ -496,7 +502,10 @@ async def create_embeddings(request: web.Request) -> web.Response:
         return _json_error(400, "input must be non-empty")
     rows = [G.encode_cached(tok, t) or [tok.pad_token_id] for t in texts]
     loop = asyncio.get_running_loop()
-    vecs = await loop.run_in_executor(None, engine.embed, rows)
+    try:
+        vecs = await loop.run_in_executor(None, engine.embed, rows)
+    except ValueError as e:
+        return _json_error(400, str(e))
     n_tokens = sum(len(r) for r in rows)
     resp = EmbeddingResponse(
         model=body.model,
@@ -747,7 +756,10 @@ async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: s
             ),
         )
 
-    result = await loop.run_in_executor(None, run)
+    try:
+        result = await loop.run_in_executor(None, run)
+    except ValueError as e:
+        return _json_error(400, str(e))
     return web.json_response(result.model_dump())
 
 
