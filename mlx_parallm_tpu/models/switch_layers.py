@@ -92,6 +92,20 @@ def switch_linear(
     return out.reshape(*lead, top_k, n)
 
 
+RAGGED_MIN_ROWS = 64  # decode-size batches keep the cond-skip path
+
+
+def _ragged_ok(pp: Dict[str, Any], k: int, qcfg: QuantCfg) -> bool:
+    from ..ops import qmm_ragged
+
+    if "wk3" not in pp or "sk3" not in pp:
+        return False
+    gs, bits = qcfg if qcfg else (
+        quant.DEFAULT_GROUP_SIZE, quant.DEFAULT_BITS
+    )
+    return qmm_ragged.supported(k, pp["wk3"].shape, gs, bits)
+
+
 def switch_glu(
     p: Dict[str, Any],
     x: jnp.ndarray,
@@ -100,10 +114,84 @@ def switch_glu(
     activation=jax.nn.silu,
 ) -> jnp.ndarray:
     """SwitchGLU (parity: reference switch_layers.py:117-143):
-    down( act(gate(x)) * up(x) ) with expert-indexed projections."""
+    down( act(gate(x)) * up(x) ) with expert-indexed projections.
+
+    Prefill-shaped inputs on TPU take the ragged grouped-matmul kernel
+    (ops/qmm_ragged.py — FLOPs proportional to T*top_k, one sort shared by
+    gate/up/down); decode-shaped inputs keep the per-expert cond-skip path
+    (weight traffic already tracks the routed set there)."""
+    *lead, k = x.shape
+    top_k = indices.shape[-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    n_rows *= top_k
+    f = None
+    if "sk3" in p.get("gate_proj", {}):
+        f = p["gate_proj"]["sk3"].shape[2]
+    use_ragged = (
+        n_rows >= RAGGED_MIN_ROWS
+        and jax.default_backend() == "tpu"
+        and f is not None
+        and _ragged_ok(p["gate_proj"], k, qcfg)
+        and _ragged_ok(p["up_proj"], k, qcfg)
+        and _ragged_ok(p["down_proj"], f, qcfg)
+    )
+    if use_ragged:
+        return switch_glu_ragged(p, x, indices, qcfg, activation)
     gate = switch_linear(p["gate_proj"], x, indices, qcfg)
     up = switch_linear(p["up_proj"], x, indices, qcfg)
     return switch_mlp_down(p, activation(gate) * up, indices, qcfg)
+
+
+def switch_glu_ragged(
+    p: Dict[str, Any],
+    x: jnp.ndarray,
+    indices: jnp.ndarray,
+    qcfg: QuantCfg = None,
+    activation=jax.nn.silu,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """SwitchGLU via the ragged grouped kernel: one expert-sort shared by
+    gate/up/down (identical routing), sorted/padded rows flowing through
+    all three matmuls, one unsort at the end."""
+    from ..ops import qmm_ragged
+
+    gs, bits = qcfg if qcfg else (
+        quant.DEFAULT_GROUP_SIZE, quant.DEFAULT_BITS
+    )
+    *lead, k = x.shape
+    top_k = indices.shape[-1]
+    xf = x.reshape(-1, k)
+    ids = indices.reshape(-1)  # row r = (token r//top_k, slot r%top_k)
+    x_rows = jnp.repeat(xf, top_k, axis=0)
+    e_cnt = p["gate_proj"]["sk3"].shape[0]
+
+    def dims(pp):
+        _, _, kw, nt = pp["wk3"].shape
+        g = pp["sk3"].shape[1]
+        return kw, nt, g
+
+    tm = min(
+        qmm_ragged.choose_tm(x_rows.shape[0], *dims(p["gate_proj"]), bits),
+        qmm_ragged.choose_tm(x_rows.shape[0], *dims(p["up_proj"]), bits),
+        qmm_ragged.choose_tm(x_rows.shape[0], *dims(p["down_proj"]), bits),
+    )
+    layout = qmm_ragged.make_layout(ids, e_cnt, tm)
+    x_pad = qmm_ragged.pad_rows(layout, x_rows)
+
+    def run(pp, rows):
+        return qmm_ragged.ragged_qmm_padded(
+            rows, layout.e_of_tile, pp["wk3"], pp["sk3"], pp["bk3"],
+            group_size=gs, bits=bits, tm=tm, interpret=interpret,
+        )
+
+    gate = run(p["gate_proj"], x_pad)
+    up = run(p["up_proj"], x_pad)
+    h_pad = (activation(gate) * up).astype(x.dtype)
+    y_pad = run(p["down_proj"], h_pad)
+    y = qmm_ragged.unpad_rows(layout, y_pad).astype(x.dtype)
+    return y.reshape(*lead, top_k, y.shape[-1])
 
 
 def switch_mlp_down(p, h, indices, qcfg):
