@@ -78,6 +78,66 @@ def test_tp_streaming_chat(tp_server, tiny_model_dir):
     assert lines[-1] == "data: [DONE]"
 
 
+@pytest.fixture(scope="module")
+def dp_server(tiny_model_dir, tmp_path_factory):
+    """tp=4 x dp=2 over the 8-device virtual mesh: the KV slab's batch
+    axis actually shards over dp (parallel/mesh.py kv_cache_sharding) —
+    VERDICT r2 #8."""
+    handle = launch_server(
+        tiny_model_dir,
+        extra_args=[
+            "--tp", "4",
+            "--dp", "2",
+            "--scheduler", "continuous",
+            "--max-batch-size", "4",
+            "--max-context-length", "512",
+        ],
+        tmpdir=str(tmp_path_factory.mktemp("dp_server")),
+    )
+    yield handle
+    handle.stop()
+
+
+def test_dp_tp_completion_matches_unsharded(dp_server, tiny_model_dir):
+    r = requests.post(
+        f"{dp_server.base}/v1/completions",
+        json={
+            "model": tiny_model_dir,
+            "prompt": PROMPT,
+            "max_tokens": MAX_TOKENS,
+            "temperature": 0.0,
+        },
+        timeout=300,
+    )
+    assert r.status_code == 200, r.text
+    text = r.json()["choices"][0]["text"]
+    assert text == _unsharded_greedy(tiny_model_dir)
+
+
+def test_dp_tp_concurrent_fills_slots(dp_server, tiny_model_dir):
+    """Enough concurrent requests to occupy every dp-sharded slot."""
+    import concurrent.futures as cf
+
+    def one(i):
+        rr = requests.post(
+            f"{dp_server.base}/v1/completions",
+            json={
+                "model": tiny_model_dir,
+                "prompt": f"request number {i}",
+                "max_tokens": 5,
+                "temperature": 0.0,
+            },
+            timeout=300,
+        )
+        assert rr.status_code == 200, rr.text
+        return rr.json()
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        outs = list(ex.map(one, range(6)))
+    for o in outs:
+        assert o["choices"][0]["finish_reason"] in ("stop", "length")
+
+
 def test_tp_concurrent_mixed(tp_server, tiny_model_dir):
     """More requests than slots, mixed sampling params, all served on the
     sharded slab."""
