@@ -118,14 +118,17 @@ def build_random_quantized_llama(
             jax.random.uniform(e3, (vocab, g_e), jnp.float32) * 0.002 - 0.016
         ).astype(jnp.bfloat16),
     }
-    emb_nt = quant.choose_n_tile(hidden, vocab, bits, group_size=group_size)
+    emb_nt, emb_npad = quant.plan_n_tile(
+        hidden, vocab, bits, group_size=group_size
+    )
     if emb_nt is not None:
+        pk, ps, pb = quant.pad_quantized_rows(
+            emb_packed, emb["scales"], emb["biases"], emb_npad
+        )
         emb["wk"] = quant.tile_kernel(
-            quant.kernel_pack(emb_packed, group_size, bits), emb_nt
+            quant.kernel_pack(pk, group_size, bits), emb_nt
         )
-        emb["sk"], emb["bk"] = quant.kernel_scale_mirrors(
-            emb["scales"], emb["biases"], bits
-        )
+        emb["sk"], emb["bk"] = quant.kernel_scale_mirrors(ps, pb, bits)
     params = {
         "model": {
             "embed_tokens": emb,

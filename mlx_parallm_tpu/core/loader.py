@@ -190,17 +190,31 @@ def load_model(
                     n, kw_m = arr.shape
                     k = kw_m * (32 // bits)
                     probe = jnp.zeros((1, k), jnp.bfloat16)
-                    nt = quant.choose_n_tile(
+                    # plan_n_tile may PAD vocab-sized heads up to a large
+                    # tile (nt=256 blocks stream at a fraction of peak).
+                    nt, n_pad = quant.plan_n_tile(
                         k, n, bits, n_shards=n_shards, group_size=gs
                     )
                     if nt is not None:
-                        wk = quant.tile_kernel(
-                            quant.kernel_pack(arr, gs, bits), nt
+                        pk, ps, pb = quant.pad_quantized_rows(
+                            arr,
+                            flat[base + ".scales"],
+                            flat[base + ".biases"],
+                            n_pad,
                         )
-                        if qmm_pallas.supported(
-                            probe, wk, flat[base + ".scales"], gs, bits
-                        ):
+                        wk = quant.tile_kernel(
+                            quant.kernel_pack(pk, gs, bits), nt
+                        )
+                        if qmm_pallas.supported(probe, wk, ps, gs, bits):
                             flat[base + ".wk"] = wk
+                            if n_pad != n:
+                                # Mirrors must match the padded width; the
+                                # post-pass would build them from the
+                                # original (unpadded) scale planes.
+                                (
+                                    flat[base + ".sk"],
+                                    flat[base + ".bk"],
+                                ) = quant.kernel_scale_mirrors(ps, pb, bits)
                             built = True
                 if not built and arr.ndim == 2 and not is_embedding:
                     flat[base + ".q8"] = quant.unpack(arr, bits)

@@ -48,6 +48,11 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
             q_scales_t=p.get("sk"),
             q_biases_t=p.get("bk"),
         )
+        # Vocab-padded kernel mirrors (quant.plan_n_tile) emit extra
+        # all-zero rows; slice back to the checkpoint width.
+        n_orig = p["scales"].shape[0]
+        if y.shape[-1] != n_orig:
+            y = y[..., :n_orig]
     else:
         y = x @ p["weight"].T.astype(x.dtype)
     if "bias" in p:

@@ -65,8 +65,12 @@ def _scoped_vmem(mt: int, kwt: int, nt: int, g: int, bits: int) -> int:
 
 def _kw_tile(kw: int, g: int, mt: int = M_TILE, nt: int = 256, bits: int = 4) -> int:
     """Largest divisor of Kw that keeps per-tile plane rows a multiple of G
-    (valid tile-repeat scale map) and fits the VMEM budget at this (mt, nt)."""
-    for d in range(min(kw, 512), 0, -1):
+    (valid tile-repeat scale map) and fits the VMEM budget at this (mt, nt).
+
+    The search must reach past 512: shapes whose group count has odd
+    factors need larger tiles (e.g. K=13824, G=216 admits only multiples
+    of 864) — the VMEM budget is the real bound."""
+    for d in range(min(kw, 2048), 0, -1):
         if kw % d != 0 or (4 * d) % g != 0:
             continue
         # x blocks are (mt, 4*d): Pallas requires the last block dim be a

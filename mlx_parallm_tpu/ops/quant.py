@@ -210,6 +210,59 @@ def choose_n_tile(
     return None
 
 
+def plan_n_tile(
+    k: int, n: int, bits: int, n_shards: int = 1, group_size: int = 64,
+    max_pad_frac: float = 0.125,
+):
+    """(n_tile, n_pad): like ``choose_n_tile`` but allowed to PAD the output
+    dimension up to a multiple of a large tile. Vocab-sized heads (e.g.
+    N=32000) otherwise fall to 256-wide tiles whose small blocks stream at
+    a fraction of peak (measured 169 vs ~700 GB/s for the 7B lm_head);
+    padding to 32768 costs 2.4% extra weight traffic and wins it back
+    four-fold. Padded rows carry zero scales/biases (zero logits, sliced
+    off by ``params.linear``). Returns (None, n) when nothing feasible."""
+    from . import qmm_pallas
+
+    kw = k * bits // 32
+    if k % group_size != 0 or kw % 8 != 0:
+        return None, n
+    g = k // group_size
+    rows = k // 2 if bits == 4 else k
+    if rows % g != 0:
+        return None, n
+    best = (None, n)
+    for nt in _N_TILE_CANDIDATES:
+        step = nt * n_shards
+        n_pad = ((n + step - 1) // step) * step
+        if (n_pad - n) / n > max_pad_frac:
+            continue
+        if qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits) <= 0:
+            continue
+        return nt, n_pad
+    return best
+
+
+def pad_quantized_rows(packed, scales, biases, n_pad: int):
+    """Zero-pad a quantized linear's output rows to ``n_pad`` (zero scales
+    and biases make the padded logits exactly zero)."""
+    import jax.numpy as jnp
+
+    n = packed.shape[0]
+    if n_pad == n:
+        return packed, scales, biases
+    extra = n_pad - n
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((extra, packed.shape[1]), packed.dtype)], axis=0
+    )
+    scales = jnp.concatenate(
+        [scales, jnp.zeros((extra, scales.shape[1]), scales.dtype)], axis=0
+    )
+    biases = jnp.concatenate(
+        [biases, jnp.zeros((extra, biases.shape[1]), biases.dtype)], axis=0
+    )
+    return packed, scales, biases
+
+
 def kernel_scale_mirrors(scales: jax.Array, biases: jax.Array, bits: int):
     """Pre-transposed (G, N) scale/bias operands for the fused kernel.
 
