@@ -63,7 +63,9 @@ class Bench:
                 self.temps, self.top_ps, key, None, self.eos,
                 n_steps, None, None, None, None, "greedy", S_HOT,
             )
-        jax.block_until_ready(toks)
+        # block_until_ready returns early through the axon tunnel; a
+        # device_get is the only real sync.
+        np.asarray(jax.device_get(toks))
         self.cache = c
 
     def make_scan(self, use_logits):
@@ -73,16 +75,18 @@ class Bench:
             else self.model.apply_fn_hidden()
         )
 
-        def body(carry, _):
-            c, t = carry
-            out, c2 = fn(self.model.params, t[:, None], c)
-            if use_logits:
-                t2 = jnp.argmax(out[:, 0], axis=-1).astype(jnp.int32)
-            else:
-                t2 = t + jnp.sum(out[:, 0, :1]).astype(jnp.int32) * 0
-            return (c2, t2), None
-
         def outer(params, c, t):
+            # params MUST flow through the jit arg — closing over the 4.4GB
+            # tree bakes it in as constants (25GB constant-folding hang).
+            def body(carry, _):
+                c, t = carry
+                out, c2 = fn(params, t[:, None], c)
+                if use_logits:
+                    t2 = jnp.argmax(out[:, 0], axis=-1).astype(jnp.int32)
+                else:
+                    t2 = t + jnp.sum(out[:, 0, :1]).astype(jnp.int32) * 0
+                return (c2, t2), None
+
             (c, t), _ = jax.lax.scan(body, (c, t), None, length=64)
             return c, t
 
@@ -90,7 +94,7 @@ class Bench:
 
         def run():
             c, t = jf(self.model.params, self.cache, self.tok0)
-            jax.block_until_ready(t)
+            np.asarray(jax.device_get(t))
             self.cache = c
 
         return run
