@@ -229,7 +229,9 @@ def load_model(
                         e_cnt, n, kw_m = arr.shape
                         k = kw_m * (32 // bits)
                         probe = jnp.zeros((1, k), jnp.bfloat16)
-                        nt = quant.choose_n_tile(
+                        # Expert stacks prefer a ragged-kernel-feasible
+                        # tile (whole-K block) over the largest one.
+                        nt = quant.choose_n_tile_expert(
                             k, n, bits, n_shards=n_shards, group_size=gs
                         )
                         if nt is not None:

@@ -210,6 +210,34 @@ def choose_n_tile(
     return None
 
 
+def choose_n_tile_expert(
+    k: int, n: int, bits: int, n_shards: int = 1, group_size: int = 64
+):
+    """N-tile for STACKED MoE expert weights: prefer a tile whose whole-K
+    block fits VMEM (the ragged grouped kernel needs single-block K —
+    e.g. K=14336 experts must drop to nt=512), falling back to the plain
+    per-expert kernel's choice."""
+    from . import qmm_ragged
+
+    kw = k * bits // 32
+    if k % group_size != 0 or kw % 8 != 0:
+        return None
+    g = k // group_size
+    rows = k // 2 if bits == 4 else k
+    if rows % g != 0:
+        return None
+    from . import qmm_pallas
+
+    for nt in _N_TILE_CANDIDATES:
+        if n % nt != 0 or (n // nt) % n_shards != 0:
+            continue
+        if qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits) <= 0:
+            continue
+        if qmm_ragged.choose_tm(16, kw, nt, g, bits) > 0:
+            return nt
+    return choose_n_tile(k, n, bits, n_shards=n_shards, group_size=group_size)
+
+
 def plan_n_tile(
     k: int, n: int, bits: int, n_shards: int = 1, group_size: int = 64,
     max_pad_frac: float = 0.125,

@@ -27,7 +27,7 @@ ITERS = 8
 
 
 def stack(n, k, seed):
-    nt = quant.choose_n_tile(k, n, BITS, group_size=GS)
+    nt = quant.choose_n_tile_expert(k, n, BITS, group_size=GS)
     wk3 = jax.random.bits(
         jax.random.PRNGKey(seed), (E, n // nt, k * BITS // 32, nt), jnp.uint32
     )
