@@ -201,13 +201,22 @@ def choose_n_tile(
     rows = k // 2 if bits == 4 else k
     if rows % g != 0:
         return None
+    best_fallback = None
     for nt in _N_TILE_CANDIDATES:
         if n % nt != 0 or (n // nt) % n_shards != 0:
             continue
-        if qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits) <= 0:
+        kt = qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits)
+        if kt <= 0:
             continue
-        return nt
-    return None
+        if kt == kw:
+            # Whole-K blocks: no K-split output revisits. Measured on
+            # K=14336 at decode m=16: 693 GB/s (nt=512, whole-K) vs
+            # 214-524 GB/s (nt=1024, two K steps) — whole-K beats a
+            # wider tile decisively.
+            return nt
+        if best_fallback is None:
+            best_fallback = nt
+    return best_fallback
 
 
 def choose_n_tile_expert(
@@ -258,16 +267,20 @@ def plan_n_tile(
     rows = k // 2 if bits == 4 else k
     if rows % g != 0:
         return None, n
-    best = (None, n)
+    fallback = (None, n)
     for nt in _N_TILE_CANDIDATES:
         step = nt * n_shards
         n_pad = ((n + step - 1) // step) * step
         if (n_pad - n) / n > max_pad_frac:
             continue
-        if qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits) <= 0:
+        kt = qmm_pallas._kw_tile(kw, g, qmm_pallas.M_TILE, nt, bits)
+        if kt <= 0:
             continue
-        return nt, n_pad
-    return best
+        if kt == kw:  # whole-K first (see choose_n_tile)
+            return nt, n_pad
+        if fallback[0] is None:
+            fallback = (nt, n_pad)
+    return fallback
 
 
 def pad_quantized_rows(packed, scales, biases, n_pad: int):

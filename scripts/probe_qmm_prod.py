@@ -54,10 +54,11 @@ def check_numerics(k=1024, n=1024, bits=4, gs=64):
         assert rel < 2e-2, f"{tag} numerics off: rel={rel}"
 
 
-def time_shape(m, k, n, bits=4, gs=64, chain=6):
+def time_shape(m, k, n, bits=4, gs=64, chain=6, nt=None):
     """Chained qmm over `chain` distinct weight tensors per scan iter."""
     per_word = 32 // bits
-    nt = quant.choose_n_tile(k, n, bits, group_size=gs)
+    if nt is None:
+        nt = quant.choose_n_tile(k, n, bits, group_size=gs)
     ws = []
     for i in range(chain):
         wk = jax.random.bits(
@@ -89,12 +90,12 @@ def time_shape(m, k, n, bits=4, gs=64, chain=6):
         jf = jax.jit(fn)
         x0 = jnp.ones((m, k), jnp.bfloat16)
         r = jf(x0, *flat)
-        jax.block_until_ready(r)
+        np.asarray(jax.device_get(r))  # block_until_ready lies (tunnel)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             r = jf(x0, *flat)
-            jax.block_until_ready(r)
+            np.asarray(jax.device_get(r))
             best = min(best, (time.perf_counter() - t0) / ITERS)
         return best
 
@@ -103,8 +104,8 @@ def time_shape(m, k, n, bits=4, gs=64, chain=6):
     wb = ws[0][0].size * 4
     rate = wb * (chain - 1) / 1e9 / max(tc - t1, 1e-9)
     print(
-        f"m={m:3d} {k}x{n} int{bits}: t1={t1*1e3:7.3f} tc={tc*1e3:8.3f} "
-        f"marginal {rate:6.1f} GB/s",
+        f"m={m:3d} {k}x{n} int{bits} nt={nt}: t1={t1*1e3:7.3f} "
+        f"tc={tc*1e3:8.3f} marginal {rate:6.1f} GB/s",
         flush=True,
     )
     return rate
@@ -115,8 +116,10 @@ def main():
     check_numerics(bits=4)
     check_numerics(bits=8)
     time_shape(16, 4096, 28672)
-    time_shape(16, 14336, 4096)
+    time_shape(16, 14336, 4096)            # nt=1024: kw split (n_kt=2)
+    time_shape(16, 14336, 4096, nt=512)    # whole-K blocks
     time_shape(16, 4096, 6144)
+    time_shape(16, 4096, 4096)
     time_shape(32, 4096, 28672)
 
 
