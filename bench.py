@@ -372,6 +372,14 @@ def main() -> int:
         "sol_tok_s_b32": round(sol_b32, 1),
         "roofline_pct_b8": round(100 * decode_tps / sol_b8, 1),
         "roofline_pct_b32": round(100 * big_tps / sol_b32, 1),
+        # Step-time view of the same numbers; the measured per-component
+        # decomposition (qmm / attention / KV write / lm_head / sampling)
+        # is in docs/PERF_NOTES.md with the probe scripts that produce it.
+        "step_ms_b8": round(1000 * args.batch / decode_tps, 2)
+        if decode_tps
+        else 0.0,
+        "step_ms_floor_weights": round(1000 * floor_s, 2),
+        "breakdown": "docs/PERF_NOTES.md (probe_step_parts/ablate)",
     }
     if not args.skip_extras:
         extra.update(
