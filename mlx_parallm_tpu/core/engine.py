@@ -42,6 +42,14 @@ from .loader import Model
 logger = logging.getLogger(__name__)
 
 
+class ContextLengthError(ValueError):
+    """Input exceeds the engine's max context length.
+
+    A dedicated type so HTTP handlers can map ONLY the context-length
+    guard to 400 — any other ValueError from the scoring/decode paths is
+    a server bug and must surface as a 500 (ADVICE r3)."""
+
+
 @dataclasses.dataclass
 class SamplingParams:
     """Per-sequence sampling configuration."""
@@ -292,7 +300,7 @@ class DecodeEngine:
         lengths_list = [max(1, len(p)) for p in prompts]
         max_len = max(lengths_list)
         if max_len > self.max_context_length:
-            raise ValueError(
+            raise ContextLengthError(
                 f"prompt length {max_len} exceeds max context "
                 f"{self.max_context_length}"
             )
@@ -633,7 +641,7 @@ class DecodeEngine:
         b_pad = _bucket_batch(b, self.max_batch_size)
         max_len = max(max(1, len(r)) for r in token_rows)
         if max_len > self.max_context_length:
-            raise ValueError(
+            raise ContextLengthError(
                 f"input length {max_len} exceeds max context "
                 f"{self.max_context_length}"
             )

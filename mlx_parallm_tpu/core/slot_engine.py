@@ -816,8 +816,17 @@ class SlotEngine:
         # next command, so the idle heartbeat only needs to beat collective
         # timeouts, not poll fast.
         idle_wait = 5.0 if sync.multi else 0.05
+        # Multi-process broadcast pipelining: the command for iteration N+1
+        # is exchanged WHILE iteration N's decode chunk runs on device (see
+        # below), carried here — the HostSync round trip leaves the decode
+        # critical path (VERDICT r3 #5). Costs one extra chunk of admission
+        # latency for work arriving mid-chunk.
+        pending_cmd = None
         while True:
-            if sync.primary:
+            if pending_cmd is not None:
+                op, cancels, admissions = pending_cmd
+                pending_cmd = None
+            elif sync.primary:
                 if self._stop.is_set():
                     op, cancels, admissions = (
                         HostSync.OP_STOP, [False] * self.num_slots, [],
@@ -840,9 +849,13 @@ class SlotEngine:
                         if (admissions or occupied or any(cancels))
                         else HostSync.OP_IDLE
                     )
+                op, cancels, admissions = sync.exchange(
+                    op, cancels, admissions
+                )
             else:
-                op, cancels, admissions = HostSync.OP_IDLE, None, None
-            op, cancels, admissions = sync.exchange(op, cancels, admissions)
+                op, cancels, admissions = sync.exchange(
+                    HostSync.OP_IDLE, None, None
+                )
             if op == HostSync.OP_STOP:
                 break
             # Apply host-side cancels decided last iteration — on every
@@ -878,6 +891,30 @@ class SlotEngine:
                     # Host length mirrors lag by the in-flight chunk, so
                     # the hot window covers one extra chunk of growth.
                     spec = self._dispatch_chunk(margin=2)
+                if sync.multi:
+                    # Pipelined broadcast: exchange the NEXT iteration's
+                    # command while this chunk runs on device, so the
+                    # HostSync round trip overlaps compute instead of
+                    # serializing between chunks. Every process reaches
+                    # this point in lockstep (slot state is replayed), so
+                    # the collective stays matched.
+                    if sync.primary:
+                        if self._stop.is_set():
+                            pending_cmd = sync.exchange(
+                                HostSync.OP_STOP,
+                                [False] * self.num_slots,
+                                [],
+                            )
+                        else:
+                            pending_cmd = sync.exchange(
+                                HostSync.OP_WORK,
+                                list(self._pending_cancel),
+                                self._drain_queue(),
+                            )
+                    else:
+                        pending_cmd = sync.exchange(
+                            HostSync.OP_IDLE, None, None
+                        )
                 self._drain_chunk(cur, eos_ids)
                 if spec is None:
                     break
@@ -886,4 +923,11 @@ class SlotEngine:
                     # in flight: drain it (emits nothing) and go idle.
                     self._drain_chunk(spec, eos_ids)
                     break
+        if sync.multi and sync.exchange_count:
+            logger.info(
+                "HostSync: %d exchanges, %.2f ms avg (pipelined with device "
+                "compute)",
+                sync.exchange_count,
+                1000 * sync.exchange_time_total / sync.exchange_count,
+            )
         logger.info("SlotEngine stopped")

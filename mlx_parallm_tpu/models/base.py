@@ -124,28 +124,6 @@ class KVCache:
             lengths=self.lengths,
         )
 
-    def commit_decode(self, pending) -> "KVCache":
-        """Write ALL layers' single-token K/V in one batched scatter.
-
-        ``pending``: list of (k_new (B, 1, H, D), v_new) per layer, staged
-        by ``ops.attention.update_and_attend`` during a decode step. One
-        scatter per step writes only the appended rows (~4 MB) instead of
-        32 per-layer masked rewrites of the whole hot window (measured
-        0.6 vs 2.1 ms/step at b8 S=512, and S-independent — the win grows
-        with context)."""
-        # Rows arrive (B, 1, H, D); stack to (L, B, H, D), then reorder to
-        # the advanced-index result layout (B, L, H, D).
-        kn = jnp.stack([k[:, 0] for k, _ in pending])
-        vn = jnp.stack([v[:, 0] for _, v in pending])
-        kn = jnp.transpose(kn, (1, 0, 2, 3)).astype(self.k.dtype)  # (B, L, H, D)
-        vn = jnp.transpose(vn, (1, 0, 2, 3)).astype(self.v.dtype)
-        b_idx = jnp.arange(self.batch_size)
-        return KVCache(
-            k=self.k.at[:, b_idx, :, self.lengths, :].set(kn),
-            v=self.v.at[:, b_idx, :, self.lengths, :].set(vn),
-            lengths=self.lengths,
-        )
-
     def advance(self, step_lengths: jax.Array) -> "KVCache":
         """Advance per-row valid lengths by ``step_lengths`` (B,) tokens."""
         return KVCache(k=self.k, v=self.v, lengths=self.lengths + step_lengths)
@@ -261,28 +239,6 @@ class QuantizedKVCache:
             v=self.v.at[layer].set(v_l),
             k_scale=self.k_scale.at[layer].set(ks_l),
             v_scale=self.v_scale.at[layer].set(vs_l),
-            lengths=self.lengths,
-        )
-
-    def commit_decode(self, pending) -> "QuantizedKVCache":
-        """Batched one-scatter decode commit (see KVCache.commit_decode);
-        quantizes the staged rows first. Attention already consumed the
-        exact bf16 rows for the current token via the new-token term, so
-        deferral only affects FUTURE reads (same as eager quantization)."""
-        kn = jnp.stack([k[:, 0] for k, _ in pending])  # (L, B, H, D)
-        vn = jnp.stack([v[:, 0] for _, v in pending])
-        kq, ks = self._quantize(kn)  # scales (L, B, H)
-        vq, vs = self._quantize(vn)
-        kq = jnp.transpose(kq, (1, 0, 2, 3))  # (B, L, H, D)
-        vq = jnp.transpose(vq, (1, 0, 2, 3))
-        ks = jnp.transpose(ks, (1, 0, 2))  # (B, L, H)
-        vs = jnp.transpose(vs, (1, 0, 2))
-        b_idx = jnp.arange(self.batch_size)
-        return QuantizedKVCache(
-            k=self.k.at[:, b_idx, :, self.lengths, :].set(kq),
-            v=self.v.at[:, b_idx, :, self.lengths, :].set(vq),
-            k_scale=self.k_scale.at[:, b_idx, :, self.lengths].set(ks),
-            v_scale=self.v_scale.at[:, b_idx, :, self.lengths].set(vs),
             lengths=self.lengths,
         )
 

@@ -45,7 +45,7 @@ class ModelArgs(BaseModelArgs):
         return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pending=None):
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
     b, t, _ = x.shape
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.head_dim
     qcfg = args.qcfg
@@ -62,7 +62,7 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pendin
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=d**-0.5
+            q, k, v, cache, layer, scale=d**-0.5
         )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
@@ -86,13 +86,12 @@ def apply(
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
     x = x * jnp.asarray(args.hidden_size**0.5, dtype=x.dtype)  # gemma scaling
 
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(
             layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps, plus_one=True
         )
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, pending
+            args, layer_p["self_attn"], h, cache, i, positions
         )
         x = x + attn_out
         h = P.rms_norm(
@@ -108,8 +107,6 @@ def apply(
             jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(x.dtype) * up,
             qcfg,
         )
-    if pending:
-        cache = cache.commit_decode(pending)
 
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps, plus_one=True)

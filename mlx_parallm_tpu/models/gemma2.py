@@ -51,7 +51,7 @@ class ModelArgs(BaseModelArgs):
         return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pending=None):
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
     b, t, _ = x.shape
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.head_dim
     qcfg = args.qcfg
@@ -80,7 +80,7 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pendin
         )
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=scale,
+            q, k, v, cache, layer, scale=scale,
             logit_softcap=args.attn_logit_softcapping,
             sliding_window=window,
         )
@@ -106,13 +106,12 @@ def apply(
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
     x = x * jnp.asarray(args.hidden_size**0.5, dtype=x.dtype)
 
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(
             layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps, plus_one=True
         )
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, pending
+            args, layer_p["self_attn"], h, cache, i, positions
         )
         attn_out = P.rms_norm(
             layer_p["post_attention_layernorm"]["weight"],
@@ -142,8 +141,6 @@ def apply(
             plus_one=True,
         )
         x = x + mlp_out
-    if pending:
-        cache = cache.commit_decode(pending)
 
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps, plus_one=True)

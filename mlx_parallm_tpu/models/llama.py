@@ -64,8 +64,7 @@ class ModelArgs(BaseModelArgs):
 
 
 def _attention_block(
-    args: ModelArgs, p, x, cache: Optional[KVCache], layer: int, positions,
-    pending=None,
+    args: ModelArgs, p, x, cache: Optional[KVCache], layer: int, positions
 ):
     b, t, _ = x.shape
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.resolved_head_dim
@@ -103,7 +102,7 @@ def _attention_block(
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=d**-0.5
+            q, k, v, cache, layer, scale=d**-0.5
         )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
@@ -148,21 +147,16 @@ def apply(
 
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
 
-    # Decode steps stage per-layer KV rows here and commit them in ONE
-    # batched scatter after the loop (ops.attention.update_and_attend).
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps)
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, pending
+            args, layer_p["self_attn"], h, cache, i, positions
         )
         x = x + attn_out
         h = P.rms_norm(
             layer_p["post_attention_layernorm"]["weight"], x, args.rms_norm_eps
         )
         x = x + _mlp_block(args, layer_p["mlp"], h)
-    if pending:
-        cache = cache.commit_decode(pending)
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)
     if return_hidden:

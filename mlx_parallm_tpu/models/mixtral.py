@@ -54,7 +54,7 @@ class ModelArgs(BaseModelArgs):
         return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pending=None):
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
     b, t, _ = x.shape
     h, hkv = args.num_attention_heads, args.num_key_value_heads
     d = args.resolved_head_dim
@@ -72,7 +72,7 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pendin
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=d**-0.5
+            q, k, v, cache, layer, scale=d**-0.5
         )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
@@ -107,19 +107,16 @@ def apply(
         positions = make_positions(cache.lengths, t)
 
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps)
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, pending
+            args, layer_p["self_attn"], h, cache, i, positions
         )
         x = x + attn_out
         h = P.rms_norm(
             layer_p["post_attention_layernorm"]["weight"], x, args.rms_norm_eps
         )
         x = x + _moe_block(args, layer_p["block_sparse_moe"], h)
-    if pending:
-        cache = cache.commit_decode(pending)
 
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)

@@ -74,7 +74,7 @@ def _make_rope(args: ModelArgs):
     return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, su, pending=None):
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, su):
     b, t, _ = x.shape
     h, hkv = args.num_attention_heads, args.num_key_value_heads
     d = args.resolved_head_dim
@@ -98,7 +98,7 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, su, pe
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=d**-0.5
+            q, k, v, cache, layer, scale=d**-0.5
         )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
@@ -121,11 +121,10 @@ def apply(
     su = _make_rope(args)
 
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps)
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, su, pending
+            args, layer_p["self_attn"], h, cache, i, positions, su
         )
         x = x + attn_out
         h = P.rms_norm(
@@ -134,8 +133,6 @@ def apply(
         gate_up = P.linear(layer_p["mlp"]["gate_up_proj"], h, qcfg)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         x = x + P.linear(layer_p["mlp"]["down_proj"], jax.nn.silu(gate) * up, qcfg)
-    if pending:
-        cache = cache.commit_decode(pending)
 
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)

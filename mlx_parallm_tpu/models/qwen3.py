@@ -47,7 +47,7 @@ class ModelArgs(BaseModelArgs):
         return None
 
 
-def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pending=None):
+def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions):
     b, t, _ = x.shape
     h, hkv, d = args.num_attention_heads, args.num_key_value_heads, args.head_dim
     qcfg = args.qcfg
@@ -86,7 +86,7 @@ def _attention_block(args: ModelArgs, p, x, cache, layer: int, positions, pendin
         out = attention.sdpa(q, k, v, q_offsets=offsets, scale=d**-0.5)
     else:
         out, cache = attention.update_and_attend(
-            q, k, v, cache, layer, pending, scale=d**-0.5
+            q, k, v, cache, layer, scale=d**-0.5
         )
     out = out.reshape(b, t, h * d)
     return P.linear(p["o_proj"], out, qcfg), cache
@@ -108,11 +108,10 @@ def apply(
         positions = make_positions(cache.lengths, t)
 
     x = P.embedding(model_p["embed_tokens"], tokens, qcfg)
-    pending = [] if (cache is not None and t == 1) else None
     for i, layer_p in enumerate(model_p["layers"]):
         h = P.rms_norm(layer_p["input_layernorm"]["weight"], x, args.rms_norm_eps)
         attn_out, cache = _attention_block(
-            args, layer_p["self_attn"], h, cache, i, positions, pending
+            args, layer_p["self_attn"], h, cache, i, positions
         )
         x = x + attn_out
         h = P.rms_norm(
@@ -126,8 +125,6 @@ def apply(
             gate = P.linear(mlp_p["gate_proj"], h, qcfg)
             up = P.linear(mlp_p["up_proj"], h, qcfg)
         x = x + P.linear(mlp_p["down_proj"], jax.nn.silu(gate) * up, qcfg)
-    if pending:
-        cache = cache.commit_decode(pending)
 
 
     x = P.rms_norm(model_p["norm"]["weight"], x, args.rms_norm_eps)

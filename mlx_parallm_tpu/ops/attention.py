@@ -7,12 +7,23 @@ reference's variable additive mask (reference:
 (B, N, S) additive mask on the host, validity is computed from per-row offset
 vectors inside the jitted op, with static shapes throughout (XLA requirement).
 
-The XLA path below is the universal implementation; a Pallas flash-decode
-kernel slots in behind the same signature for long-context TPU serving.
+Three implementations behind one surface:
+
+  * ``update_and_attend`` — the models' single entry point. On the TPU
+    decode hot loop it dispatches the FUSED append+attend Pallas kernel
+    (``ops/flash_append.py``): the current token's K/V are committed into
+    the aliased cache slab and attended in ONE kernel launch per layer —
+    no separate masked slab rewrite, no XLA attention chain.
+  * ``ops/flash_decode.py`` — read-only flash-decode kernel for T==1
+    attention over an already-committed slab (long-context fallback).
+  * ``sdpa`` / ``sdpa_slab`` — the XLA einsum path: prefill, CPU tests,
+    and any unsupported shape.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -20,11 +31,12 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
-# Trace-time counter: incremented whenever cached_attention selects the
-# Pallas flash-decode path while tracing a program. Lets benchmarks/tests
-# assert the kernel is actually on the compiled hot path (VERDICT r2 #2:
-# "assert it in the bench").
+# Trace-time counters: incremented whenever a Pallas attention kernel is
+# selected while tracing a program. Lets benchmarks/tests assert the kernels
+# are actually on the compiled hot path (VERDICT r2 #2: "assert it in the
+# bench"). FUSED counts append+attend decode; FLASH counts read-only decode.
 FLASH_DISPATCHES = 0
+FUSED_DISPATCHES = 0
 
 
 def sdpa(
@@ -87,21 +99,13 @@ def sdpa_slab(
     scale: float,
     logit_softcap: Optional[float] = None,
     sliding_window: Optional[int] = None,
-    k_new: Optional[jnp.ndarray] = None,
-    v_new: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Like :func:`sdpa` but over slab-layout KV: k/v are (B, H_kv, S, D)
-    (heads ahead of positions — the cache's native order).
-
-    ``k_new``/``v_new`` (B, 1, H_kv, D): deferred-commit decode — the
-    current token's K/V are NOT in the slab yet (slab position
-    ``q_offsets`` holds stale data and is excluded); its attention term is
-    computed from these exact rows and merged into the softmax."""
+    (heads ahead of positions — the cache's native order)."""
     b, t, hq, d = q.shape
     _, hkv, s, _ = k.shape
     assert hq % hkv == 0
     rep = hq // hkv
-    deferred = k_new is not None
 
     # XLA:CPU's dot thunk can't execute this contraction in bf16 (the TPU
     # path keeps bf16 to halve slab traffic).
@@ -117,49 +121,17 @@ def sdpa_slab(
 
     kv_pos = jnp.arange(s)[None, None, :]  # (1, 1, S)
     q_pos = q_offsets[:, None, None] + jnp.arange(t)[None, :, None]  # (B, T, 1)
-    valid = (kv_pos < q_pos) if deferred else (kv_pos <= q_pos)
+    valid = kv_pos <= q_pos
     if sliding_window is not None:
         valid &= kv_pos > q_pos - sliding_window
     scores = jnp.where(valid[:, None, None, :, :], scores, NEG_INF)
 
-    if not deferred:
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "bhrts,bhsd->bthrd",
-            probs.astype(v.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        )
-        return out.reshape(b, t, hq, d).astype(q.dtype)
-
-    # Deferred current-token merge WITHOUT concatenating a 1-wide score
-    # column (S+1 breaks lane alignment — measured slower than the whole
-    # rewrite it replaced): explicit log-sum-exp over {slab scores, s_new}.
-    kn = k_new[:, 0].astype(cdt)  # (B, Hkv, D)
-    vn = v_new[:, 0].astype(cdt)
-    s_new = jnp.einsum(
-        "bthrd,bhd->bhrt", qg, kn, preferred_element_type=jnp.float32
-    )
-    if logit_softcap:
-        s_new = jnp.tanh(s_new / logit_softcap) * logit_softcap
-    m = jnp.maximum(
-        jnp.max(scores, axis=-1), s_new
-    )  # (B, Hkv, rep, T)
-    p = jnp.exp(scores - m[..., None])  # (B, Hkv, rep, T, S)
-    w_new = jnp.exp(s_new - m)  # (B, Hkv, rep, T)
-    denom = jnp.sum(p, axis=-1) + w_new
+    probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhrts,bhsd->bthrd",
-        p.astype(v.dtype),
+        probs.astype(v.dtype),
         v,
         preferred_element_type=jnp.float32,
-    )
-    out = out + jnp.einsum(
-        "bhrt,bhd->bthrd", w_new.astype(vn.dtype), vn,
-        preferred_element_type=jnp.float32,
-    )
-    out = out / jnp.maximum(
-        denom.transpose(0, 3, 1, 2)[..., None], 1e-20
     )
     return out.reshape(b, t, hq, d).astype(q.dtype)
 
@@ -172,32 +144,22 @@ def cached_attention(
     scale: float,
     logit_softcap: Optional[float] = None,
     sliding_window: Optional[int] = None,
-    k_new: Optional[jnp.ndarray] = None,
-    v_new: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Attention over a KV-cache layer (the models' single entry point).
+    """Attention over an already-committed KV-cache layer.
 
-    Dispatch: the T==1 decode hot loop on TPU runs the flash-decode Pallas
-    kernel (online softmax, per-row-length DMA skipping, int8 KV consumed
-    without slab dequantization — ops/flash_decode.py); everything else
-    (prefill, CPU tests, unsupported shapes) falls back to the XLA slab
-    path, dequantizing int8 KV on the fly.
-
-    ``k_new``/``v_new``: deferred-commit decode (see ``update_and_attend``)
-    — the slab does NOT yet hold the current token; both paths add its
-    term explicitly (the flash kernel exposes its online-softmax (m, l)
-    stats for an exact XLA merge).
+    Dispatch: T==1 reads on TPU run the flash-decode Pallas kernel (online
+    softmax, per-row-length DMA skipping, int8 KV consumed without slab
+    dequantization — ops/flash_decode.py) when the context is long enough
+    to win; everything else (prefill, CPU tests, unsupported shapes) falls
+    back to the XLA slab path, dequantizing int8 KV on the fly.
     """
-    import os
-
     from . import flash_decode as FD
 
     k, v, k_scale, v_scale = cache.layer_raw(layer)
     t = q.shape[1]
-    deferred = k_new is not None
-    # Kernel-launch overhead makes the Pallas path a net loss on tiny hot
-    # windows (measured ~6% end-to-end at S=256 on v5e); XLA's fused
-    # attention is fine there. The kernel wins from ~1k positions up
+    # Kernel-launch overhead makes the read-only Pallas path a net loss on
+    # tiny hot windows (measured ~6% end-to-end at S=256 on v5e); XLA's
+    # fused attention is fine there. The kernel wins from ~1k positions up
     # (earlier for int8, whose XLA path must materialize a dequantized
     # slab every layer read).
     min_s = int(os.environ.get("MLX_PARALLM_FLASH_MIN_S", 1024))
@@ -213,19 +175,7 @@ def cached_attention(
     if use_flash:
         global FLASH_DISPATCHES
         FLASH_DISPATCHES += 1
-        if not deferred:
-            return FD.flash_decode(
-                q,
-                k,
-                v,
-                cache.lengths,
-                scale=scale,
-                k_scale=k_scale,
-                v_scale=v_scale,
-                logit_softcap=logit_softcap,
-                sliding_window=sliding_window,
-            )
-        out, m, l = FD.flash_decode(
+        return FD.flash_decode(
             q,
             k,
             v,
@@ -235,12 +185,6 @@ def cached_attention(
             v_scale=v_scale,
             logit_softcap=logit_softcap,
             sliding_window=sliding_window,
-            exclusive=True,
-            return_stats=True,
-        )
-        return _merge_new_token(
-            q, out, m, l, k_new, v_new, scale=scale,
-            logit_softcap=logit_softcap,
         )
     if k_scale is not None:
         k = k.astype(jnp.bfloat16) * k_scale[..., None]
@@ -253,32 +197,7 @@ def cached_attention(
         scale=scale,
         logit_softcap=logit_softcap,
         sliding_window=sliding_window,
-        k_new=k_new,
-        v_new=v_new,
     )
-
-
-def _merge_new_token(q, out, m, l, k_new, v_new, *, scale, logit_softcap):
-    """Fold the current token's K/V into a flash-decode result using the
-    kernel's online-softmax stats: exact softmax over slab + new token."""
-    b, t, hq, d = q.shape
-    hkv = k_new.shape[2]
-    rep = hq // hkv
-    qf = q[:, 0].astype(jnp.float32) * scale  # (B, Hq, D)
-    knr = jnp.repeat(k_new[:, 0].astype(jnp.float32), rep, axis=1)  # (B,Hq,D)
-    vnr = jnp.repeat(v_new[:, 0].astype(jnp.float32), rep, axis=1)
-    s_new = jnp.sum(qf * knr, axis=-1)  # (B, Hq)
-    if logit_softcap:
-        s_new = jnp.tanh(s_new / logit_softcap) * logit_softcap
-    m2 = jnp.maximum(m, s_new)
-    w_old = l * jnp.exp(m - m2)  # slab softmax mass rescaled
-    w_new = jnp.exp(s_new - m2)
-    denom = jnp.maximum(w_old + w_new, 1e-20)
-    merged = (
-        out.astype(jnp.float32)[:, 0] * (w_old / denom)[..., None]
-        + vnr * (w_new / denom)[..., None]
-    )
-    return merged[:, None].astype(q.dtype)
 
 
 def update_and_attend(
@@ -287,7 +206,6 @@ def update_and_attend(
     v: jnp.ndarray,
     cache,
     layer: int,
-    pending: Optional[list],
     *,
     scale: float,
     logit_softcap: Optional[float] = None,
@@ -295,31 +213,44 @@ def update_and_attend(
 ):
     """Write this layer's K/V and attend — the models' one-stop call.
 
-    With ``MLX_PARALLM_DEFER_KV=1``, decode steps (T == 1, ``pending``
-    provided by the model's apply loop) DEFER the write: k/v are staged in
-    ``pending`` (committed once per step by ``cache.commit_decode`` — a
-    single batched scatter for all layers) and attention adds the current
-    token's term explicitly (flash exposes its online-softmax stats for
-    the merge).
+    TPU decode steps (T == 1) run the FUSED append+attend kernel
+    (``ops/flash_append.py``): the new token's K/V rows are committed into
+    the ``input_output_aliases``-donated slab INSIDE the attention kernel,
+    replacing the per-layer masked rewrite (2.06 ms/step at b8 S=512 in
+    isolation) plus the XLA attention chain with one Pallas launch whose
+    only extra HBM write is one (64, D) block per (row, kv-head).
+    ``MLX_PARALLM_NO_FUSED=1`` forces the eager path (A/B probes).
 
-    Deferral is OFF by default: in ISOLATION the per-layer masked rewrite
-    measures 2.1 ms/step at b8 S=512 vs 0.6 ms for the batched scatter,
-    but in the FULL decode program the rewrite overlaps other work while
-    the scatter + merge ops serialize — measured end-to-end it is neutral
-    at b8, -8% at b32 and -33% at 2k context on v5e. Kept as an opt-in
-    experiment (and for the flash-stats machinery it exercises)."""
-    import os
+    Everything else — prefill, CPU tests, unsupported shapes — commits via
+    ``cache.update_layer`` and attends with :func:`cached_attention`.
+    """
+    from . import flash_append as FA
 
     if (
-        pending is not None
-        and q.shape[1] == 1
-        and os.environ.get("MLX_PARALLM_DEFER_KV") == "1"
+        q.shape[1] == 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("MLX_PARALLM_NO_FUSED") != "1"
+        and FA.supported(q, cache.k, cache.lengths)
     ):
-        pending.append((k, v))
-        out = cached_attention(
-            q, cache, layer, scale=scale, logit_softcap=logit_softcap,
-            sliding_window=sliding_window, k_new=k, v_new=v,
-        )
+        global FUSED_DISPATCHES
+        FUSED_DISPATCHES += 1
+        if getattr(cache, "k_scale", None) is not None:
+            out, k2, v2, ks2, vs2 = FA.flash_append_attend(
+                q, cache.k, cache.v, cache.lengths, k, v,
+                layer=layer, scale=scale,
+                cache_ks=cache.k_scale, cache_vs=cache.v_scale,
+                logit_softcap=logit_softcap, sliding_window=sliding_window,
+            )
+            cache = dataclasses.replace(
+                cache, k=k2, v=v2, k_scale=ks2, v_scale=vs2
+            )
+        else:
+            out, k2, v2 = FA.flash_append_attend(
+                q, cache.k, cache.v, cache.lengths, k, v,
+                layer=layer, scale=scale,
+                logit_softcap=logit_softcap, sliding_window=sliding_window,
+            )
+            cache = dataclasses.replace(cache, k=k2, v=v2)
         return out, cache
     cache = cache.update_layer(layer, k, v)
     out = cached_attention(

@@ -79,13 +79,8 @@ def _kernel(
     softcap: Optional[float],
     window: Optional[int],
     compute_dtype=jnp.bfloat16,
-    exclusive: bool = False,
-    return_stats: bool = False,
 ):
-    if return_stats:
-        mo_ref, lo_ref, m_ref, l_ref, acc_ref = out_and_scratch
-    else:
-        m_ref, l_ref, acc_ref = out_and_scratch
+    m_ref, l_ref, acc_ref = out_and_scratch
     b = pl.program_id(0)
     si = pl.program_id(2)
     ns = pl.num_programs(2)
@@ -96,10 +91,8 @@ def _kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # exclusive: deferred-commit decode — the slab does not yet hold the
-    # current token; attend kv slots < q_pos (its stale slot is skipped).
     q_pos = len_ref[b]
-    q_hi = q_pos if exclusive else q_pos + 1  # attend kv slots < q_hi
+    q_hi = q_pos + 1  # attend kv slots < q_hi
     base = si * sblk
     run = base < q_hi
     if window is not None:
@@ -161,9 +154,6 @@ def _kernel(
         o_ref[0, 0] = (
             acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-20)
         ).astype(o_ref.dtype)
-        if return_stats:
-            mo_ref[0, 0] = m_ref[...]
-            lo_ref[0, 0] = l_ref[...]
 
 
 def supported(q, k, lengths) -> bool:
@@ -182,10 +172,7 @@ def supported(q, k, lengths) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "scale", "logit_softcap", "sliding_window", "interpret",
-        "exclusive", "return_stats",
-    ),
+    static_argnames=("scale", "logit_softcap", "sliding_window", "interpret"),
 )
 def flash_decode(
     q,
@@ -199,19 +186,13 @@ def flash_decode(
     logit_softcap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
-    exclusive: bool = False,
-    return_stats: bool = False,
 ):
     """Single-token batched decode attention over a slab-layout KV cache.
 
     q: (B, 1, Hq, D); k/v: (B, Hkv, S, D) bf16 — or int8 with
     k_scale/v_scale (B, Hkv, S); lengths: (B,) int32 where row b's query
-    sits at absolute position lengths[b] (attends kv slots <= lengths[b],
-    or < lengths[b] with ``exclusive`` — deferred-commit decode where the
-    current token is merged outside via the (m, l) stats).
-    Returns (B, 1, Hq, D) in q.dtype; with ``return_stats`` additionally
-    the per-(row, head) online-softmax running max ``m`` and denominator
-    ``l`` as (B, Hq) float32.
+    sits at absolute position lengths[b] (attends kv slots <= lengths[b]).
+    Returns (B, 1, Hq, D) in q.dtype.
     """
     b, t, hq, d = q.shape
     _, hkv, s, _ = k.shape
@@ -246,8 +227,7 @@ def flash_decode(
     sblk_sc = sblk if quantized else 128
 
     def live_fn(bi, si, len_ref):
-        hi = len_ref[bi] if exclusive else len_ref[bi] + 1
-        live = si * sblk < hi
+        live = si * sblk < len_ref[bi] + 1
         if sliding_window is not None:
             live = jnp.logical_and(
                 live, (si + 1) * sblk > len_ref[bi] - sliding_window
@@ -270,23 +250,10 @@ def flash_decode(
         def sc_idx(bi, gi, si, len_ref):
             return (bi, gi, 0, 0)
 
-    out_shape = [jax.ShapeDtypeStruct((b, ng, hg * rep, d), q.dtype)]
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, hg * rep, d), lambda bi, gi, si, L: (bi, gi, 0, 0)
-        )
-    ]
-    if return_stats:
-        for _ in range(2):  # online-softmax m, l
-            out_shape.append(
-                jax.ShapeDtypeStruct((b, ng, hg * rep, 128), jnp.float32)
-            )
-            out_specs.append(
-                pl.BlockSpec(
-                    (1, 1, hg * rep, 128),
-                    lambda bi, gi, si, L: (bi, gi, 0, 0),
-                )
-            )
+    out_shape = jax.ShapeDtypeStruct((b, ng, hg * rep, d), q.dtype)
+    out_specs = pl.BlockSpec(
+        (1, 1, hg * rep, d), lambda bi, gi, si, L: (bi, gi, 0, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, ng, ns),
@@ -299,7 +266,7 @@ def flash_decode(
             pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
             pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
         ],
-        out_specs=tuple(out_specs) if return_stats else out_specs[0],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hg * rep, 128), jnp.float32),  # running max
             pltpu.VMEM((hg * rep, 128), jnp.float32),  # running denominator
@@ -316,12 +283,10 @@ def flash_decode(
         window=sliding_window,
         # CPU interpret mode (tests) lacks bf16 dot support.
         compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
-        exclusive=exclusive,
-        return_stats=return_stats,
     )
     res = pl.pallas_call(
         kernel,
-        out_shape=tuple(out_shape) if return_stats else out_shape[0],
+        out_shape=out_shape,
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * d * s,
@@ -330,11 +295,4 @@ def flash_decode(
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), q2, k, v, k_scale, v_scale)
-    if return_stats:
-        out, m, l = res
-        return (
-            out.reshape(b, 1, hq, d).astype(q.dtype),
-            m[..., 0].reshape(b, hq),
-            l[..., 0].reshape(b, hq),
-        )
     return res.reshape(b, 1, hq, d).astype(q.dtype)

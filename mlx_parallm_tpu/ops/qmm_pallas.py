@@ -262,9 +262,11 @@ def qmm_pallas(
             (mt, nt), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            # All three grid dims may be pipelined without ordering
-            # constraints (the K revisit is accumulate-only) — measured
-            # worth ~8% streaming rate on v5e.
+            # 'arbitrary' is Pallas TPU's conservative sequential semantic;
+            # the hints alone measured ~8% streaming rate on v5e. M/N could
+            # in principle be declared 'parallel', but K must STAY
+            # 'arbitrary': the output block is revisited and accumulated in
+            # place across K steps, which 'parallel' would miscompile.
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(

@@ -112,6 +112,11 @@ class HostSync:
         self.num_slots = num_slots
         self.multi = jax.process_count() > 1
         self.primary = jax.process_index() == 0
+        # Per-iteration overhead accounting (VERDICT r3 #5: attach a
+        # number to the cross-host sync cost). With the slot engine's
+        # pipelined broadcast this time overlaps device compute.
+        self.exchange_count = 0
+        self.exchange_time_total = 0.0
 
     # ------------------------------------------------------------- encoding
 
@@ -158,6 +163,9 @@ class HostSync:
         placeholders (ignored)."""
         if not self.multi:
             return op, cancels, admissions
+        import time as _time
+
+        t0 = _time.perf_counter()
         from jax.experimental import multihost_utils
 
         if self.primary:
@@ -181,6 +189,8 @@ class HostSync:
                 multihost_utils.broadcast_one_to_all(payload)
             )
             admissions = self._decode(payload)
+        self.exchange_count += 1
+        self.exchange_time_total += _time.perf_counter() - t0
         return op, cancels, admissions
 
 

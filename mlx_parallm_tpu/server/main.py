@@ -33,7 +33,7 @@ from aiohttp import web
 
 from ..core import generate as G
 from ..core import loader
-from ..core.engine import DecodeEngine, SamplingParams
+from ..core.engine import ContextLengthError, DecodeEngine, SamplingParams
 from . import state
 from .schemas import (
     ChatCompletionChoice,
@@ -471,8 +471,9 @@ async def compute_perplexity(request: web.Request) -> web.Response:
         lp, mask = await loop.run_in_executor(
             None, engine.score_tokens, [ids]
         )
-    except ValueError as e:
-        # Context-length guard on the (chunked) scoring path.
+    except ContextLengthError as e:
+        # Context-length guard on the (chunked) scoring path; any other
+        # error is a server bug and propagates to a 500.
         return _json_error(400, str(e))
     vals = lp[0][mask[0]]
     avg_nll = float(-vals.mean())
@@ -504,7 +505,7 @@ async def create_embeddings(request: web.Request) -> web.Response:
     loop = asyncio.get_running_loop()
     try:
         vecs = await loop.run_in_executor(None, engine.embed, rows)
-    except ValueError as e:
+    except ContextLengthError as e:
         return _json_error(400, str(e))
     n_tokens = sum(len(r) for r in rows)
     resp = EmbeddingResponse(
@@ -758,7 +759,7 @@ async def _completion_with_logprobs(app, rec, body: CompletionRequest, prompt: s
 
     try:
         result = await loop.run_in_executor(None, run)
-    except ValueError as e:
+    except ContextLengthError as e:
         return _json_error(400, str(e))
     return web.json_response(result.model_dump())
 

@@ -189,8 +189,70 @@ def convert(
         for fp in glob.glob(str(src / pattern)):
             shutil.copy(fp, out)
     if upload_repo:
-        logger.warning("upload_to_hub skipped (no network egress in this environment)")
+        upload_to_hub(str(out), upload_repo, hf_path)
     return str(out)
+
+
+
+def generate_model_card(upload_repo: str, hf_path: str) -> str:
+    """Model-card markdown for an uploaded conversion (parity: reference
+    utils.py:798-820 builds the same structure via huggingface ModelCard)."""
+    from .. import __version__
+
+    return f"""---
+tags:
+- mlx-parallm-tpu
+---
+
+# {upload_repo}
+
+The model [{upload_repo}](https://huggingface.co/{upload_repo}) was
+converted to the mlx_parallm_tpu native format from
+[{hf_path}](https://huggingface.co/{hf_path}) using mlx_parallm_tpu
+version **{__version__}**.
+
+## Use with mlx_parallm_tpu
+
+```python
+from mlx_parallm_tpu.core.loader import load
+from mlx_parallm_tpu.core.generate import generate
+
+model, tokenizer = load("{upload_repo}")
+print(generate(model, tokenizer, prompt="hello"))
+```
+"""
+
+
+def upload_to_hub(path: str, upload_repo: str, hf_path: str, api=None) -> bool:
+    """Upload a converted checkpoint to the Hugging Face hub (parity:
+    reference utils.py:783-831). Writes a model card into ``path`` first.
+
+    ``api``: optional pre-built client (tests inject a mock). Without one,
+    huggingface_hub is imported lazily; if it is unavailable or the network
+    is unreachable the upload degrades gracefully to a warning and returns
+    False — the local conversion output is complete either way."""
+    card_path = Path(path) / "README.md"
+    card_path.write_text(generate_model_card(upload_repo, hf_path))
+    if api is None:
+        try:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+        except Exception as e:  # pragma: no cover - env without hub client
+            logger.warning("upload_to_hub skipped (no hub client): %s", e)
+            return False
+    try:
+        api.create_repo(repo_id=upload_repo, exist_ok=True)
+        api.upload_folder(
+            folder_path=str(path),
+            repo_id=upload_repo,
+            repo_type="model",
+        )
+        logger.info("Uploaded %s to %s", path, upload_repo)
+        return True
+    except Exception as e:
+        logger.warning("upload_to_hub failed (offline?): %s", e)
+        return False
 
 
 def main(argv=None) -> int:

@@ -82,3 +82,35 @@ def test_int4_conversion_close_to_torch(hf_checkpoint, tmp_path):
     assert agree >= 0.75, f"argmax agreement {agree}"
     corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
     assert corr > 0.98, f"logit correlation {corr}"
+
+
+def test_upload_to_hub_mocked(tmp_path):
+    """upload_to_hub writes a model card and drives the hub client
+    (reference utils.py:783-831); a failing client degrades gracefully."""
+    from mlx_parallm_tpu.tools import convert as C
+
+    class MockApi:
+        def __init__(self):
+            self.calls = []
+
+        def create_repo(self, repo_id, exist_ok=False):
+            self.calls.append(("create_repo", repo_id, exist_ok))
+
+        def upload_folder(self, folder_path, repo_id, repo_type):
+            self.calls.append(("upload_folder", folder_path, repo_id, repo_type))
+
+    api = MockApi()
+    ok = C.upload_to_hub(str(tmp_path), "me/tpu-model", "org/src-model", api=api)
+    assert ok
+    assert api.calls[0] == ("create_repo", "me/tpu-model", True)
+    assert api.calls[1][2] == "me/tpu-model"
+    card = (tmp_path / "README.md").read_text()
+    assert "me/tpu-model" in card and "org/src-model" in card
+
+    class FailApi:
+        def create_repo(self, **kw):
+            raise OSError("no network")
+
+    assert not C.upload_to_hub(
+        str(tmp_path), "me/tpu-model", "org/src-model", api=FailApi()
+    )
