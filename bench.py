@@ -153,6 +153,166 @@ def build_random_quantized_llama(
     return Model(args=args, params=params, module=llama, config=config)
 
 
+
+
+def run_serving_bench(
+    model,
+    *,
+    port: int = 18299,
+    n_requests: int = 24,
+    concurrency: int = 8,
+    prompt_tokens: int = 128,
+    max_tokens: int = 64,
+):
+    """HTTP-level serving benchmark (VERDICT r3 #7): drives the REAL aiohttp
+    server + continuous slot scheduler in-process over the bench model, with
+    streaming requests, and reports aggregate completion tok/s plus p50/p95
+    time-to-first-token — the server-level view the reference's headline
+    numbers use (reference INFERENCE_SERVER.md:278-296).
+
+    Returns {"http_tok_s", "ttft_p50_s", "ttft_p95_s"} (zeros on failure —
+    the engine-level numbers above stand on their own)."""
+    import asyncio
+    import statistics
+    import threading
+
+    import numpy as np
+
+    from mlx_parallm_tpu.server import main as SM
+    from mlx_parallm_tpu.server import state as SS
+
+    class _ServingTokenizer:
+        """Deterministic stand-in: every prompt encodes to exactly
+        ``prompt_tokens`` ids (one static prefill shape -> one compile)."""
+
+        eos_token_ids: set = set()
+        pad_token_id = 0
+        model_max_length = 32768
+
+        def encode(self, text):
+            rng = np.random.default_rng(abs(hash(text)) % (2**31))
+            return [
+                int(x) for x in rng.integers(1, 30000, size=prompt_tokens)
+            ]
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    tok = _ServingTokenizer()
+    args = SM.ServerArgs(
+        model_path="bench-7b",
+        port=port,
+        scheduler="continuous",
+        max_batch_size=concurrency,
+        max_context_length=4096,
+        slot_context_length=1024,
+    )
+    orig_load = SM.loader.load
+    SM.loader.load = lambda path, **kw: (model, tok)
+    ready = threading.Event()
+    holder = {}
+
+    def serve():
+        from aiohttp import web as _web
+
+        loop = asyncio.new_event_loop()
+        holder["loop"] = loop
+        asyncio.set_event_loop(loop)
+        app = SM.create_app(args)
+        runner = _web.AppRunner(app)
+        loop.run_until_complete(runner.setup())
+        site = _web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        holder["runner"] = runner
+        ready.set()
+        loop.run_forever()
+        loop.run_until_complete(runner.cleanup())
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    out = {"http_tok_s": 0.0, "ttft_p50_s": 0.0, "ttft_p95_s": 0.0}
+    try:
+        assert ready.wait(timeout=60)
+        import aiohttp
+
+        base = f"http://127.0.0.1:{port}"
+
+        async def wait_loaded():
+            async with aiohttp.ClientSession() as sess:
+                for _ in range(600):
+                    try:
+                        async with sess.get(f"{base}/v1/models") as r:
+                            if "loaded" in await r.text():
+                                return True
+                    except aiohttp.ClientError:
+                        pass
+                    await asyncio.sleep(1)
+            return False
+
+        async def one(sess, sem, i, ttfts, tokens_done):
+            payload = {
+                "model": "bench-7b",
+                "prompt": f"serving bench request {i}",
+                "max_tokens": max_tokens,
+                "temperature": 0.0,
+                "stream": True,
+            }
+            async with sem:
+                t0 = time.perf_counter()
+                first = None
+                async with sess.post(
+                    f"{base}/v1/completions", json=payload
+                ) as resp:
+                    assert resp.status == 200, await resp.text()
+                    async for raw in resp.content:
+                        line = raw.decode("utf-8", "ignore").strip()
+                        if not line.startswith("data:"):
+                            continue
+                        body = line[5:].strip()
+                        if body == "[DONE]":
+                            break
+                        if first is None:
+                            first = time.perf_counter() - t0
+                ttfts.append(first if first is not None else 0.0)
+                tokens_done[0] += max_tokens
+
+        async def drive(n):
+            ttfts: list = []
+            tokens_done = [0]
+            sem = asyncio.Semaphore(concurrency)
+            timeout = aiohttp.ClientTimeout(total=1800)
+            async with aiohttp.ClientSession(timeout=timeout) as sess:
+                t0 = time.perf_counter()
+                await asyncio.gather(
+                    *(one(sess, sem, i, ttfts, tokens_done) for i in range(n))
+                )
+                wall = time.perf_counter() - t0
+            return ttfts, tokens_done[0], wall
+
+        async def client():
+            assert await wait_loaded(), "bench server never loaded"
+            await drive(concurrency)  # warmup: compile prefill + slot decode
+            return await drive(n_requests)
+
+        ttfts, n_tok, wall = asyncio.run(client())
+        ttfts = sorted(t for t in ttfts if t > 0)
+        if ttfts:
+            out["ttft_p50_s"] = round(statistics.median(ttfts), 4)
+            out["ttft_p95_s"] = round(
+                ttfts[min(len(ttfts) - 1, int(0.95 * len(ttfts)))], 4
+            )
+        out["http_tok_s"] = round(n_tok / wall, 2)
+    except Exception as e:  # pragma: no cover - perf harness resilience
+        print(f"serving bench failed: {e}", file=sys.stderr)
+    finally:
+        SM.loader.load = orig_load
+        SS.model_registry.pop("bench-7b", None)
+        loop = holder.get("loop")
+        if loop is not None:
+            loop.call_soon_threadsafe(loop.stop)
+        th.join(timeout=30)
+    return out
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
@@ -168,17 +328,24 @@ def main() -> int:
         "--skip-extras", action="store_true",
         help="skip the long-context flash and 14B configurations",
     )
+    ap.add_argument(
+        "--skip-serving", action="store_true",
+        help="skip the HTTP-level continuous-scheduler benchmark",
+    )
     args = ap.parse_args()
 
     import numpy as np
 
     from mlx_parallm_tpu.core.engine import DecodeEngine, SamplingParams
 
+    from mlx_parallm_tpu.ops import attention as ATT
+
     model = build_random_quantized_llama(layers=args.layers)
     tok = _BenchTokenizer()
     engine = DecodeEngine(
         model, tok, max_batch_size=args.batch, max_context_length=8192
     )
+    fused_before = ATT.FUSED_DISPATCHES
 
     rng = np.random.default_rng(0)
     prompts = [
@@ -208,6 +375,9 @@ def main() -> int:
     # different cache shape -> prefill + decode_chunk recompile inside the
     # timed region (observed: 32 tok/s reported for a 550 tok/s engine).
     run(args.steps)
+    # The fused append+attend kernel must be ON the compiled headline path
+    # (VERDICT r3 #1: "FLASH_DISPATCHES asserted in bench").
+    fused_used = ATT.FUSED_DISPATCHES > fused_before
     decode_tps, ttft, total_tps = run(args.steps)
 
     # Throughput configuration: batch 32 on the same engine/weights.
@@ -307,6 +477,11 @@ def main() -> int:
     sol_b8 = args.batch / floor_s
     sol_b32 = big_batch / floor_s
 
+    # ------------------------------------------------------- HTTP level
+    serving = {"http_tok_s": 0.0, "ttft_p50_s": 0.0, "ttft_p95_s": 0.0}
+    if not args.skip_serving and not args.skip_extras:
+        serving = run_serving_bench(model)
+
     # ------------------------------------------------------------- 14B
     # North-star model class (BASELINE.md): 14B-class dims (VERDICT r2 #7:
     # hidden 5120 / 48 layers / GQA 40:8 / ffn 13824), INT4 — ~7 GB packed,
@@ -379,6 +554,7 @@ def main() -> int:
         if decode_tps
         else 0.0,
         "step_ms_floor_weights": round(1000 * floor_s, 2),
+        "fused_kernel_used": bool(fused_used),
         "breakdown": "docs/PERF_NOTES.md (probe_step_parts/ablate)",
     }
     if not args.skip_extras:
@@ -388,6 +564,11 @@ def main() -> int:
                 # the compiled hot path (asserted via FLASH_DISPATCHES).
                 "decode_tok_s_b8_ctx2k_int8kv": round(long_tps, 2),
                 "flash_kernel_used": bool(flash_used),
+                # HTTP-level continuous-scheduler serving (streamed SSE,
+                # b8 slots, p128/64-token requests).
+                "http_tok_s": serving["http_tok_s"],
+                "ttft_p50_s": serving["ttft_p50_s"],
+                "ttft_p95_s": serving["ttft_p95_s"],
                 # 14B-class INT4 single chip (reference headline model
                 # class: 59.4 tok/s batch-8 on Apple Silicon).
                 "decode_tok_s_14b_b8": round(tps_14b, 2),
