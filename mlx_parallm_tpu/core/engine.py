@@ -236,7 +236,11 @@ class DecodeEngine:
             cache, tok, active, counts, key, token_counts = carry
             if full_cache is not None:
                 cache = _merge_cache(full_cache, cache, s_hot)
-            return toks, lps, tok, active, counts, key, cache, token_counts
+            # Tokens + logprobs stacked into ONE array: the host drains a
+            # chunk with a single device->host transfer (each separate pull
+            # costs a full tunnel round trip).
+            fused = jnp.stack([toks.astype(jnp.float32), lps])
+            return fused, tok, active, counts, key, cache, token_counts
 
         # Donating the cache lets XLA update the KV slab in place.
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
@@ -409,44 +413,15 @@ class DecodeEngine:
             logit_bias,
             mode=sampler_mode,
         )
-        first_tokens.block_until_ready()
-        prompt_time = time.perf_counter() - t0
-        n_prompt = int(sum(lengths_list))
-        self.metrics["prompt_tokens_total"] += n_prompt
-        self.metrics["prompt_time_total"] += prompt_time
-        self.metrics["last_prompt_tps"] = n_prompt / max(prompt_time, 1e-9)
 
         eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
 
-        active = np.zeros((b_pad,), dtype=bool)
-        active[:b] = True
-        n_generated = [0] * b
-        finish: List[Optional[str]] = [None] * b
-
-        # Process the prefill-sampled first token on the host.
-        tok_host = np.asarray(jax.device_get(first_tokens))
-        lp_host = np.asarray(jax.device_get(first_logprobs))
-        out_tokens: List[Optional[int]] = [None] * b
-        out_lps: List[Optional[float]] = [None] * b
-        out_fin: List[Optional[str]] = [None] * b
-        for i in range(b):
-            tid = int(tok_host[i])
-            out_tokens[i] = tid
-            out_lps[i] = float(lp_host[i])
-            n_generated[i] = 1
-            if tid in eos_ids:
-                finish[i] = "stop"
-            elif seq_params[i].max_tokens <= 1:
-                finish[i] = "length"
-            if finish[i]:
-                active[i] = False
-                out_fin[i] = finish[i]
-        decode_t0 = time.perf_counter()
-        yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
-
-        # Chunked device-side decode loop: each dispatch runs `chunk` steps on
-        # device; the host drains whole chunks (one transfer per chunk) with
-        # one-chunk lookahead.
+        # Device-side first-step bookkeeping, replicating the host logic
+        # below exactly: row active iff it is a real row, its first token
+        # is not EOS, and it may emit more than one token. Computing this
+        # on device lets the FIRST decode chunk dispatch before the first
+        # token is ever pulled to the host (the pull costs a full tunnel
+        # round trip; the chunk overlaps it).
         chunk = max(1, int(self.decode_steps_per_call))
         max_toks_dev = jnp.asarray(
             [p.max_tokens for p in seq_params] + [1] * (b_pad - b),
@@ -455,8 +430,17 @@ class DecodeEngine:
         eos_arr = jnp.asarray(sorted(eos_ids), dtype=jnp.int32)
         temps_dev = jnp.asarray(temps)
         top_ps_dev = jnp.asarray(top_ps)
-        counts_dev = jnp.asarray(active, dtype=jnp.int32)
-        active_dev = jnp.asarray(active)
+        row_valid = np.zeros((b_pad,), dtype=bool)
+        row_valid[:b] = True
+        row_valid_dev = jnp.asarray(row_valid)
+        if eos_arr.shape[0] > 0:
+            is_eos0 = jnp.any(
+                first_tokens[:, None] == eos_arr[None, :], axis=-1
+            )
+        else:
+            is_eos0 = jnp.zeros((b_pad,), dtype=bool)
+        active_dev = row_valid_dev & ~is_eos0 & (max_toks_dev > 1)
+        counts_dev = row_valid_dev.astype(jnp.int32)
         tok_dev = first_tokens
         n_decoded_total = 0
 
@@ -467,10 +451,11 @@ class DecodeEngine:
         )
         if use_penalties:
             vocab = self.model.args.vocab_size
-            tc = np.zeros((b_pad, vocab), dtype=np.int32)
-            for i in range(b):
-                tc[i, int(tok_host[i])] = 1
-            token_counts_dev = jnp.asarray(tc)
+            token_counts_dev = (
+                jnp.zeros((b_pad, vocab), dtype=jnp.int32)
+                .at[jnp.arange(b_pad), first_tokens]
+                .add(row_valid_dev.astype(jnp.int32))
+            )
             presence_dev = jnp.asarray(
                 [p.presence_penalty for p in seq_params] + [0.0] * (b_pad - b),
                 dtype=jnp.float32,
@@ -488,6 +473,16 @@ class DecodeEngine:
             presence_dev = frequency_dev = repetition_dev = None
 
         key_dev = key
+
+        # One device->host transfer for the first step (token + logprob
+        # stacked; separate pulls cost a tunnel round trip each).
+        fused_first = jnp.stack(
+            [first_tokens.astype(jnp.float32), first_logprobs]
+        )
+
+        active = np.array(row_valid)
+        n_generated = [1] * b
+        finish: List[Optional[str]] = [None] * b
 
         from .cache import hot_bucket
 
@@ -525,16 +520,50 @@ class DecodeEngine:
                 s_hot,
             )
 
+        # Dispatch the first decode chunk BEFORE pulling the first token:
+        # the device decodes while the host processes/yields it. Skipped
+        # when no row can generate past its first token.
         pending = None
-        if active.any():
+        if any(p.max_tokens > 1 for p in seq_params):
             pending = dispatch(
                 cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
             )
-            cache = pending[6]
+            cache = pending[5]
+
+        # Pull + process the prefill-sampled first token on the host.
+        fused_host = np.asarray(jax.device_get(fused_first))
+        prompt_time = time.perf_counter() - t0
+        n_prompt = int(sum(lengths_list))
+        self.metrics["prompt_tokens_total"] += n_prompt
+        self.metrics["prompt_time_total"] += prompt_time
+        self.metrics["last_prompt_tps"] = n_prompt / max(prompt_time, 1e-9)
+        tok_host = fused_host[0].astype(np.int64)
+        lp_host = fused_host[1]
+        out_tokens: List[Optional[int]] = [None] * b
+        out_lps: List[Optional[float]] = [None] * b
+        out_fin: List[Optional[str]] = [None] * b
+        for i in range(b):
+            tid = int(tok_host[i])
+            out_tokens[i] = tid
+            out_lps[i] = float(lp_host[i])
+            if tid in eos_ids:
+                finish[i] = "stop"
+            elif seq_params[i].max_tokens <= 1:
+                finish[i] = "length"
+            if finish[i]:
+                active[i] = False
+                out_fin[i] = finish[i]
+        decode_t0 = time.perf_counter()
+        yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
+
+        if pending is not None and all(f is not None for f in finish):
+            # Every row finished at its first token; discard the in-flight
+            # speculative chunk (it emits nothing).
+            pending = None
 
         while pending is not None:
             (
-                toks, lps, tok_dev, active_dev, counts_dev, key_dev, _cache,
+                fused_chunk, tok_dev, active_dev, counts_dev, key_dev, _cache,
                 token_counts_dev,
             ) = pending
             # Speculatively dispatch the next chunk from the current chunk's
@@ -544,10 +573,11 @@ class DecodeEngine:
             nxt = dispatch(
                 cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
             )
-            cache = nxt[6]
+            cache = nxt[5]
 
-            toks_host = np.asarray(jax.device_get(toks))  # (S, B)
-            lps_host = np.asarray(jax.device_get(lps))
+            fused_host2 = np.asarray(jax.device_get(fused_chunk))  # (2, S, B)
+            toks_host = fused_host2[0].astype(np.int64)
+            lps_host = fused_host2[1]
 
             done_batch = False
             for s in range(toks_host.shape[0]):

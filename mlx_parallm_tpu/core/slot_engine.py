@@ -904,16 +904,18 @@ class SlotEngine:
                                 HostSync.OP_STOP,
                                 [False] * self.num_slots,
                                 [],
+                                pipelined=True,
                             )
                         else:
                             pending_cmd = sync.exchange(
                                 HostSync.OP_WORK,
                                 list(self._pending_cancel),
                                 self._drain_queue(),
+                                pipelined=True,
                             )
                     else:
                         pending_cmd = sync.exchange(
-                            HostSync.OP_IDLE, None, None
+                            HostSync.OP_IDLE, None, None, pipelined=True
                         )
                 self._drain_chunk(cur, eos_ids)
                 if spec is None:
@@ -924,10 +926,12 @@ class SlotEngine:
                     self._drain_chunk(spec, eos_ids)
                     break
         if sync.multi and sync.exchange_count:
+            pc = max(sync.pipelined_count, 1)
             logger.info(
-                "HostSync: %d exchanges, %.2f ms avg (pipelined with device "
-                "compute)",
+                "HostSync: %d exchanges total; %d pipelined (in-flight) at "
+                "%.2f ms avg, overlapped with device compute",
                 sync.exchange_count,
-                1000 * sync.exchange_time_total / sync.exchange_count,
+                sync.pipelined_count,
+                1000 * sync.pipelined_time_total / pc,
             )
         logger.info("SlotEngine stopped")

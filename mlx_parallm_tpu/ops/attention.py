@@ -37,6 +37,7 @@ NEG_INF = -1e9
 # bench"). FUSED counts append+attend decode; FLASH counts read-only decode.
 FLASH_DISPATCHES = 0
 FUSED_DISPATCHES = 0
+PREFILL_DISPATCHES = 0
 
 
 def sdpa(
@@ -176,6 +177,27 @@ def cached_attention(
         global FLASH_DISPATCHES
         FLASH_DISPATCHES += 1
         return FD.flash_decode(
+            q,
+            k,
+            v,
+            cache.lengths,
+            scale=scale,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            logit_softcap=logit_softcap,
+            sliding_window=sliding_window,
+        )
+    from . import flash_prefill as FP
+
+    if (
+        t > 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("MLX_PARALLM_NO_FLASH_PREFILL") != "1"
+        and FP.supported(q, k, cache.lengths)
+    ):
+        global PREFILL_DISPATCHES
+        PREFILL_DISPATCHES += 1
+        return FP.flash_prefill(
             q,
             k,
             v,

@@ -140,7 +140,7 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )  # (rep, SBLK)
             if quantized:
-                s_h = s_h * ks_ref[0, 0][h : h + 1, :].astype(jnp.float32)
+                s_h = s_h * ks_ref[0, 0, 0][h : h + 1, :].astype(jnp.float32)
             rows.append(s_h)
         scores = rows[0] if hg == 1 else jnp.concatenate(rows, axis=0)
         if softcap is not None:
@@ -164,7 +164,7 @@ def _kernel(
         for h in range(hg):
             p_h = p[h * rep : (h + 1) * rep, :]
             if quantized:
-                p_h = p_h * vs_ref[0, 0][h : h + 1, :].astype(jnp.float32)
+                p_h = p_h * vs_ref[0, 0, 0][h : h + 1, :].astype(jnp.float32)
             v_h = v_ref[0, 0, h].astype(compute_dtype)
             outs.append(
                 jax.lax.dot_general(
@@ -218,12 +218,12 @@ def _kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                 == q_pos % 128
             )
-            sub_ks = ks_ref[0, 0, :, pl.ds(l0, 128)]  # (hg, 128)
-            sub_vs = vs_ref[0, 0, :, pl.ds(l0, 128)]
-            kso_ref[0, 0] = jnp.where(
+            sub_ks = ks_ref[0, 0, 0, :, pl.ds(l0, 128)]  # (hg, 128)
+            sub_vs = vs_ref[0, 0, 0, :, pl.ds(l0, 128)]
+            kso_ref[0, 0, 0] = jnp.where(
                 lanemask, ksc.astype(sub_ks.dtype), sub_ks
             )
-            vso_ref[0, 0] = jnp.where(
+            vso_ref[0, 0, 0] = jnp.where(
                 lanemask, vsc.astype(sub_vs.dtype), sub_vs
             )
 
@@ -294,9 +294,18 @@ def flash_append_attend(
         0, 2, 1, 3, 4
     )
 
-    if not quantized:
+    if quantized:
+        # Scale slabs reshaped (L, B, ng, hg, S): Pallas requires the last
+        # two block dims be tile-multiples OR span the full array dim; a
+        # (. , hg, 128) block over the raw (L, B, Hkv, S) slab violates
+        # that whenever hg < Hkv. The reshape is a bitcast; aliasing holds
+        # through it.
+        ks_shape = cache_ks.shape
+        cache_ks = cache_ks.reshape(nl, b, ng, hg, s)
+        cache_vs = cache_vs.reshape(nl, b, ng, hg, s)
+    else:
         # Dead placeholder operands keep one kernel signature.
-        cache_ks = jnp.zeros((1, 1, hg, 128), dtype=jnp.bfloat16)
+        cache_ks = jnp.zeros((1, 1, 1, hg, 128), dtype=jnp.bfloat16)
         cache_vs = cache_ks
 
     def live_fn(bi, si, len_ref):
@@ -317,12 +326,15 @@ def flash_append_attend(
     if quantized:
 
         def sc_idx(bi, gi, si, len_ref):
-            return (layer, bi, gi, jnp.where(live_fn(bi, si, len_ref), si, 0))
+            return (
+                layer, bi, gi, 0,
+                jnp.where(live_fn(bi, si, len_ref), si, 0),
+            )
 
     else:
 
         def sc_idx(bi, gi, si, len_ref):
-            return (0, 0, 0, 0)
+            return (0, 0, 0, 0, 0)
 
     out_shape = [
         jax.ShapeDtypeStruct((b, ng, hg * rep, d), q.dtype),
@@ -352,12 +364,12 @@ def flash_append_attend(
         ]
         out_specs += [
             pl.BlockSpec(
-                (1, 1, hg, 128),
-                lambda bi, gi, si, L: (layer, bi, gi, L[bi] // 128),
+                (1, 1, 1, hg, 128),
+                lambda bi, gi, si, L: (layer, bi, gi, 0, L[bi] // 128),
             ),
             pl.BlockSpec(
-                (1, 1, hg, 128),
-                lambda bi, gi, si, L: (layer, bi, gi, L[bi] // 128),
+                (1, 1, 1, hg, 128),
+                lambda bi, gi, si, L: (layer, bi, gi, 0, L[bi] // 128),
             ),
         ]
         aliases.update({6: 3, 7: 4})
@@ -378,8 +390,8 @@ def flash_append_attend(
             pl.BlockSpec(
                 (1, 1, 1, hg, d), lambda bi, gi, si, L: (bi, gi, 0, 0, 0)
             ),
-            pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
-            pl.BlockSpec((1, 1, hg, sblk_sc), sc_idx),
+            pl.BlockSpec((1, 1, 1, hg, sblk_sc), sc_idx),
+            pl.BlockSpec((1, 1, 1, hg, sblk_sc), sc_idx),
         ],
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -413,5 +425,8 @@ def flash_append_attend(
     )(lengths.astype(jnp.int32), q2, cache_k, cache_v, kn, vn, cache_ks, cache_vs)
     out = res[0].reshape(b, 1, hq, d).astype(q.dtype)
     if quantized:
-        return out, res[1], res[2], res[3], res[4]
+        return (
+            out, res[1], res[2],
+            res[3].reshape(ks_shape), res[4].reshape(ks_shape),
+        )
     return out, res[1], res[2]

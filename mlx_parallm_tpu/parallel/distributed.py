@@ -92,9 +92,19 @@ class HostSync:
     derived from replicated device outputs, so it stays consistent without
     further traffic. Single-process mode short-circuits to identity.
 
-    Wire format: one int64 header ``[op, payload_len, cancel_mask...]``
-    followed (when payload_len > 0) by one float64 payload encoding the
-    admission list. Token ids and seeds are exact in float64 (< 2**53).
+    Transport: the jax.distributed COORDINATION-SERVICE key-value store
+    (host-side gRPC to the coordinator) when available — commands are
+    control-plane traffic and must not queue behind device work, which is
+    exactly what a device-collective broadcast does (measured: a
+    "pipelined" collective exchange completed only when the in-flight
+    decode chunk did). Falls back to ``broadcast_one_to_all`` when no
+    coordination client exists. One HostSync instance per distributed
+    session (the serving deployment shape); the primary clears stale
+    command keys at init behind a barrier.
+
+    Wire format: one float64 array ``[op, cancel_mask..., payload...]``
+    where payload encodes the admission list. Token ids and seeds are
+    exact in float64 (< 2**53).
     """
 
     OP_IDLE = 0
@@ -106,17 +116,41 @@ class HostSync:
         "presence", "frequency", "repetition",
     )
 
+    _KEY_PREFIX = "mlx_parallm/hs/"
+    _GET_TIMEOUT_MS = 600_000  # primary heartbeats every <=5 s when idle
+
     def __init__(self, num_slots: int):
         import jax
 
         self.num_slots = num_slots
         self.multi = jax.process_count() > 1
         self.primary = jax.process_index() == 0
+        self._seq = 0
         # Per-iteration overhead accounting (VERDICT r3 #5: attach a
         # number to the cross-host sync cost). With the slot engine's
         # pipelined broadcast this time overlaps device compute.
         self.exchange_count = 0
         self.exchange_time_total = 0.0
+        # Busy-loop (pipelined) exchanges only: issued while a decode chunk
+        # is in flight, so both sides arrive promptly — this isolates the
+        # true sync cost from idle blocking (followers park inside the
+        # kv-get/broadcast while host 0 waits for work).
+        self.pipelined_count = 0
+        self.pipelined_time_total = 0.0
+        self._client = None
+        if self.multi:
+            from jax._src import distributed as _dist
+
+            self._client = getattr(_dist.global_state, "client", None)
+            if self._client is not None:
+                if self.primary:
+                    try:
+                        self._client.key_value_delete(self._KEY_PREFIX)
+                    except Exception:  # noqa: BLE001 - no stale keys
+                        pass
+                self._client.wait_at_barrier(
+                    "mlx_parallm_hostsync_init", 300_000
+                )
 
     # ------------------------------------------------------------- encoding
 
@@ -157,40 +191,74 @@ class HostSync:
 
     # ------------------------------------------------------------- exchange
 
-    def exchange(self, op, cancels, admissions):
+    def exchange(self, op, cancels, admissions, pipelined=False):
         """Primary passes its real (op, cancel_mask, admission_list); the
         returned triple is identical on every process. Followers pass
-        placeholders (ignored)."""
+        placeholders (ignored). Every process must call exchange() the
+        same number of times (the slot-engine loop guarantees it) — the
+        per-call sequence number addresses the command key."""
         if not self.multi:
             return op, cancels, admissions
         import time as _time
 
         t0 = _time.perf_counter()
-        from jax.experimental import multihost_utils
-
-        if self.primary:
-            payload = self._encode(admissions)
-            header = np.zeros((2 + self.num_slots,), dtype=np.int64)
-            header[0] = op
-            header[1] = payload.shape[0] if len(admissions) else 0
-            header[2:] = np.asarray(cancels, dtype=np.int64)
+        self._seq += 1
+        if self._client is not None:
+            key = f"{self._KEY_PREFIX}{self._seq}"
+            if self.primary:
+                cmd = np.concatenate(
+                    [
+                        np.asarray([op], dtype=np.float64),
+                        np.asarray(cancels, dtype=np.float64),
+                        self._encode(admissions),
+                    ]
+                )
+                self._client.key_value_set_bytes(key, cmd.tobytes())
+                if self._seq > 8:
+                    try:
+                        self._client.key_value_delete(
+                            f"{self._KEY_PREFIX}{self._seq - 8}"
+                        )
+                    except Exception:  # noqa: BLE001 - GC best-effort
+                        pass
+                cancels = np.asarray(cancels, dtype=bool)
+            else:
+                buf = self._client.blocking_key_value_get_bytes(
+                    key, self._GET_TIMEOUT_MS
+                )
+                cmd = np.frombuffer(buf, dtype=np.float64)
+                op = int(cmd[0])
+                cancels = cmd[1 : 1 + self.num_slots].astype(bool)
+                admissions = self._decode(cmd[1 + self.num_slots :])
         else:
-            payload = None
-            header = np.zeros((2 + self.num_slots,), dtype=np.int64)
-        header = np.asarray(multihost_utils.broadcast_one_to_all(header))
-        op = int(header[0])
-        plen = int(header[1])
-        cancels = header[2:].astype(bool)
-        admissions = []
-        if plen > 0:
-            if payload is None:
-                payload = np.zeros((plen,), dtype=np.float64)
-            payload = np.asarray(
-                multihost_utils.broadcast_one_to_all(payload)
-            )
-            admissions = self._decode(payload)
+            from jax.experimental import multihost_utils
+
+            if self.primary:
+                payload = self._encode(admissions)
+                header = np.zeros((2 + self.num_slots,), dtype=np.int64)
+                header[0] = op
+                header[1] = payload.shape[0] if len(admissions) else 0
+                header[2:] = np.asarray(cancels, dtype=np.int64)
+            else:
+                payload = None
+                header = np.zeros((2 + self.num_slots,), dtype=np.int64)
+            header = np.asarray(multihost_utils.broadcast_one_to_all(header))
+            op = int(header[0])
+            plen = int(header[1])
+            cancels = header[2:].astype(bool)
+            admissions = []
+            if plen > 0:
+                if payload is None:
+                    payload = np.zeros((plen,), dtype=np.float64)
+                payload = np.asarray(
+                    multihost_utils.broadcast_one_to_all(payload)
+                )
+                admissions = self._decode(payload)
         self.exchange_count += 1
         self.exchange_time_total += _time.perf_counter() - t0
+        if pipelined:
+            self.pipelined_count += 1
+            self.pipelined_time_total += _time.perf_counter() - t0
         return op, cancels, admissions
 
 
