@@ -402,9 +402,30 @@ def main() -> int:
 
     if args.skip_big:
         big_tps = 0.0
+        big_tps_int8 = 0.0
     else:
         run_big(args.steps)  # warmup at identical shapes (see above)
         big_tps = run_big(args.steps)
+        # Same throughput configuration with the INT8 KV cache (north-star
+        # feature the reference lacks): halves decode attention slab
+        # traffic, which dominates the b8->b32 step-time delta.
+        engine_big8 = DecodeEngine(
+            model, tok, max_batch_size=big_batch, max_context_length=8192,
+            decode_steps_per_call=16, kv_bits=8,
+        )
+
+        def run_big8(n_steps):
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=n_steps)
+                for _ in range(big_batch)
+            ]
+            for _ in engine_big8.decode_batch(prompts_big, sp):
+                pass
+            return engine_big8.metrics["last_decode_tps"]
+
+        run_big8(args.steps)
+        big_tps_int8 = run_big8(args.steps)
+        del engine_big8
 
     # ------------------------------------------------------ long-context
     # Flash-decode configuration (VERDICT r2 #2): b8, prompt 2048, INT8 KV.
@@ -535,10 +556,11 @@ def main() -> int:
         )
         sol_14b = args.batch / (wb14 / HBM_PEAK)
 
-    value = round(max(decode_tps, big_tps), 2)
+    value = round(max(decode_tps, big_tps, big_tps_int8), 2)
     extra = {
         "decode_tok_s_batch8": round(decode_tps, 2),
         "decode_tok_s_batch32": round(big_tps, 2),
+        "decode_tok_s_batch32_int8kv": round(big_tps_int8, 2),
         "ttft_s_b8_p128": round(ttft, 4),
         "e2e_tok_s_b8": round(total_tps, 2),
         "layers": args.layers,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import math
 import os
 import time
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
@@ -125,6 +126,14 @@ class DecodeEngine:
         self._params_version = -1
         self.kv_pool = KVPool()
         self.prefix_cache = None if disable_prefix_cache else GlobalPrefixCache()
+        mesh = getattr(model, "mesh", None)
+        if mesh is not None:
+            # Pallas attention kernels have no GSPMD partitioning rule;
+            # multi-device programs take the sharding-aware XLA paths
+            # (ops.attention._kernels_ok reads this at trace time).
+            os.environ["MLX_PARALLM_MESH_DEVICES"] = str(
+                math.prod(mesh.shape.values())
+            )
         self._build_jit()
         # Engine-level metrics (consumed by /debug/metrics).
         self.metrics = {

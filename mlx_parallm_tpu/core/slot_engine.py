@@ -92,6 +92,16 @@ class SlotEngine:
         self.kv_bits = kv_bits
         # Device mesh for TP/DP-sharded weights + KV (None = single chip).
         self.mesh = mesh if mesh is not None else getattr(model, "mesh", None)
+        if self.mesh is not None:
+            import math as _math
+            import os as _os
+
+            # Pallas attention kernels have no GSPMD partitioning rule;
+            # multi-device programs take the sharding-aware XLA paths
+            # (ops.attention._kernels_ok reads this at trace time).
+            _os.environ["MLX_PARALLM_MESH_DEVICES"] = str(
+                _math.prod(self.mesh.shape.values())
+            )
         # Cross-process command sync (identity when single-process).
         self._sync = HostSync(num_slots)
 

@@ -40,6 +40,17 @@ FUSED_DISPATCHES = 0
 PREFILL_DISPATCHES = 0
 
 
+def _kernels_ok() -> bool:
+    """Pallas attention kernels run on the single-chip TPU path. Under a
+    multi-device mesh the cache/activations are GSPMD-sharded and
+    pallas_call has no partitioning rule — the XLA paths (which shard
+    cleanly) serve those programs. Engines set MLX_PARALLM_MESH_DEVICES
+    when jitting over a >1-device mesh."""
+    if jax.default_backend() != "tpu":
+        return False
+    return int(os.environ.get("MLX_PARALLM_MESH_DEVICES", "1")) <= 1
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -169,7 +180,7 @@ def cached_attention(
     use_flash = (
         t == 1
         and k.shape[2] >= min_s
-        and jax.default_backend() == "tpu"
+        and _kernels_ok()
         and os.environ.get("MLX_PARALLM_NO_FLASH") != "1"
         and FD.supported(q, k, cache.lengths)
     )
@@ -191,7 +202,7 @@ def cached_attention(
 
     if (
         t > 1
-        and jax.default_backend() == "tpu"
+        and _kernels_ok()
         and os.environ.get("MLX_PARALLM_NO_FLASH_PREFILL") != "1"
         and FP.supported(q, k, cache.lengths)
     ):
@@ -250,7 +261,7 @@ def update_and_attend(
 
     if (
         q.shape[1] == 1
-        and jax.default_backend() == "tpu"
+        and _kernels_ok()
         and os.environ.get("MLX_PARALLM_NO_FUSED") != "1"
         and FA.supported(q, cache.k, cache.lengths)
     ):

@@ -262,12 +262,16 @@ def qmm_pallas(
             (mt, nt), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            # 'arbitrary' is Pallas TPU's conservative sequential semantic;
-            # the hints alone measured ~8% streaming rate on v5e. M/N could
-            # in principle be declared 'parallel', but K must STAY
-            # 'arbitrary': the output block is revisited and accumulated in
-            # place across K steps, which 'parallel' would miscompile.
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # M/N are genuinely parallel; K must STAY 'arbitrary': the
+            # output block is revisited and accumulated in place across K
+            # steps, which 'parallel' would miscompile. (All-'arbitrary'
+            # measured ~8% over no hints in r3; parallel M/N is A/B'd by
+            # MLX_PARALLM_QMM_ARB=1.)
+            dimension_semantics=(
+                ("arbitrary", "arbitrary", "arbitrary")
+                if __import__("os").environ.get("MLX_PARALLM_QMM_ARB") == "1"
+                else ("parallel", "parallel", "arbitrary")
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,

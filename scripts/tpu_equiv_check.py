@@ -15,6 +15,7 @@ Exits 0 on pass, 1 on any mismatch. Invoked via pytest when
 MLX_PARALLM_TPU_TESTS=1 (tests/test_tpu_kernels.py).
 """
 
+import os
 import sys
 
 import jax
@@ -22,6 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# References must take the pure XLA path even where a kernel would
+# normally dispatch (e.g. int8 decode at S=512).
+os.environ["MLX_PARALLM_NO_FLASH"] = "1"
+os.environ["MLX_PARALLM_NO_FLASH_PREFILL"] = "1"
+os.environ["MLX_PARALLM_NO_FUSED"] = "1"
 
 from mlx_parallm_tpu.models.base import KVCache, QuantizedKVCache  # noqa: E402
 from mlx_parallm_tpu.ops import (  # noqa: E402
@@ -114,6 +121,42 @@ def flash_checks():
         q, k8, v8, lengths, scale=d**-0.5, k_scale=ks, v_scale=vs
     )
     check("flash_decode int8", got8, ref8, 4e-2)
+
+
+def prefill_checks():
+    from mlx_parallm_tpu.ops import flash_prefill
+
+    rng = np.random.default_rng(5)
+    b, t, hkv, rep, s, d = 2, 128, 8, 4, 512, 128
+    q = jnp.asarray(
+        rng.standard_normal((b, t, hkv * rep, d)), jnp.bfloat16
+    )
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    offsets = jnp.asarray([0, 350], jnp.int32)
+    ref = attention.sdpa_slab(q, k, v, q_offsets=offsets, scale=d**-0.5)
+    got = flash_prefill.flash_prefill(q, k, v, offsets, scale=d**-0.5)
+    check("flash_prefill bf16", got, ref, 3e-2)
+
+    xf = np.asarray(k, np.float32)
+    sc = np.maximum(np.abs(xf).max(-1) / 127.0, 1e-8)
+    k8 = jnp.asarray(
+        np.clip(np.round(xf / sc[..., None]), -127, 127).astype(np.int8)
+    )
+    ks = jnp.asarray(sc, jnp.bfloat16)
+    vf = np.asarray(v, np.float32)
+    vsc = np.maximum(np.abs(vf).max(-1) / 127.0, 1e-8)
+    v8 = jnp.asarray(
+        np.clip(np.round(vf / vsc[..., None]), -127, 127).astype(np.int8)
+    )
+    vs = jnp.asarray(vsc, jnp.bfloat16)
+    kd = k8.astype(jnp.bfloat16) * ks[..., None]
+    vd = v8.astype(jnp.bfloat16) * vs[..., None]
+    ref8 = attention.sdpa_slab(q, kd, vd, q_offsets=offsets, scale=d**-0.5)
+    got8 = flash_prefill.flash_prefill(
+        q, k8, v8, offsets, scale=d**-0.5, k_scale=ks, v_scale=vs
+    )
+    check("flash_prefill int8", got8, ref8, 4e-2)
 
 
 def append_checks():
@@ -216,6 +259,7 @@ def main():
     )
     qmm_checks()
     flash_checks()
+    prefill_checks()
     append_checks()
     try:
         ragged_checks()
