@@ -183,10 +183,13 @@ def run_serving_bench(
 
     class _ServingTokenizer:
         """Deterministic stand-in: every prompt encodes to exactly
-        ``prompt_tokens`` ids (one static prefill shape -> one compile)."""
+        ``prompt_tokens`` ids (one static prefill shape -> one compile).
+        Implements the TokenizerWrapper surface the serving paths use
+        (encode/decode/make_detokenizer/eos ids)."""
 
         eos_token_ids: set = set()
         pad_token_id = 0
+        eos_token_id = None
         model_max_length = 32768
 
         def encode(self, text):
@@ -197,6 +200,13 @@ def run_serving_bench(
 
         def decode(self, ids, **kw):
             return " ".join(str(i) for i in ids)
+
+        def make_detokenizer(self):
+            from mlx_parallm_tpu.core.tokenizer_utils import (
+                IncrementalDetokenizer,
+            )
+
+            return IncrementalDetokenizer(self)
 
     tok = _ServingTokenizer()
     args = SM.ServerArgs(
@@ -249,7 +259,7 @@ def run_serving_bench(
                     await asyncio.sleep(1)
             return False
 
-        async def one(sess, sem, i, ttfts, tokens_done):
+        async def one(sess, sem, i, ttfts):
             payload = {
                 "model": "bench-7b",
                 "prompt": f"serving bench request {i}",
@@ -260,6 +270,7 @@ def run_serving_bench(
             async with sem:
                 t0 = time.perf_counter()
                 first = None
+                got_done = False
                 async with sess.post(
                     f"{base}/v1/completions", json=payload
                 ) as resp:
@@ -270,24 +281,33 @@ def run_serving_bench(
                             continue
                         body = line[5:].strip()
                         if body == "[DONE]":
+                            got_done = True
                             break
-                        if first is None:
+                        if first is None and '"text"' in body:
                             first = time.perf_counter() - t0
-                ttfts.append(first if first is not None else 0.0)
-                tokens_done[0] += max_tokens
+                assert got_done and first is not None, (
+                    f"request {i} stream produced no tokens"
+                )
+                ttfts.append(first)
+
+        async def completion_tokens(sess):
+            async with sess.get(f"{base}/debug/metrics") as r:
+                m = await r.json()
+            return int(m.get("completion_tokens_total", 0))
 
         async def drive(n):
             ttfts: list = []
-            tokens_done = [0]
             sem = asyncio.Semaphore(concurrency)
             timeout = aiohttp.ClientTimeout(total=1800)
             async with aiohttp.ClientSession(timeout=timeout) as sess:
+                tok0 = await completion_tokens(sess)
                 t0 = time.perf_counter()
                 await asyncio.gather(
-                    *(one(sess, sem, i, ttfts, tokens_done) for i in range(n))
+                    *(one(sess, sem, i, ttfts) for i in range(n))
                 )
                 wall = time.perf_counter() - t0
-            return ttfts, tokens_done[0], wall
+                n_tok = await completion_tokens(sess) - tok0
+            return ttfts, n_tok, wall
 
         async def client():
             assert await wait_loaded(), "bench server never loaded"
@@ -461,10 +481,10 @@ def main() -> int:
                 pass
             return engine_long.metrics["last_decode_tps"]
 
-        n0 = ATT.FLASH_DISPATCHES
+        n0 = ATT.FUSED_DISPATCHES + ATT.FLASH_DISPATCHES
         run_long()  # warmup at identical shapes
         long_tps = run_long()
-        flash_used = ATT.FLASH_DISPATCHES > n0
+        flash_used = (ATT.FUSED_DISPATCHES + ATT.FLASH_DISPATCHES) > n0
         del engine_long, prompts_long
 
     # Roofline: the decode step floor is streaming every (packed) weight

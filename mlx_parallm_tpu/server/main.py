@@ -221,6 +221,18 @@ class StreamQueuedChat:
     created: float = dataclasses.field(default_factory=time.time)
 
 
+@dataclasses.dataclass
+class StreamQueuedCompletion:
+    """Streaming completion routed through the continuous slot engine:
+    unlike the co-batched fallback (one private decode per stream), the
+    request shares the persistent slot pool with all other traffic."""
+
+    request: CompletionRequest
+    prompt: str
+    queue: asyncio.Queue
+    created: float = dataclasses.field(default_factory=time.time)
+
+
 DONE_SENTINEL = "__DONE__"
 
 
@@ -548,6 +560,12 @@ async def create_completion(request: web.Request) -> web.Response:
         return await _completion_with_logprobs(request.app, rec, body, prompt)
 
     if body.stream:
+        if args.scheduler == "continuous" and (body.n or 1) == 1:
+            item = StreamQueuedCompletion(
+                request=body, prompt=prompt, queue=asyncio.Queue()
+            )
+            await request.app["stream_chat_queue"].put(item)
+            return await _relay_chat_stream(request, item)
         return await _stream_completion(request, rec, body, prompt)
 
     fut: asyncio.Future = asyncio.get_running_loop().create_future()
@@ -1204,9 +1222,11 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 )
             )
 
-    def submit_stream(it: StreamQueuedChat) -> None:
+    def submit_stream(it) -> None:
+        is_chat = isinstance(it, StreamQueuedChat)
+        default_max = 128 if is_chat else 16
         prompt_ids = G.encode_cached(tok, it.prompt)
-        sp = _sp_from_request(it.request, it.request.max_tokens or 128)
+        sp = _sp_from_request(it.request, it.request.max_tokens or default_max)
         detok = tok.make_detokenizer()
         first = {"v": True}
         chunk_id = {"v": None}
@@ -1218,7 +1238,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         acc_state = {"emitted": 0}
 
         def on_token(tid: int, finish: Optional[str]):
-            if first["v"]:
+            if first["v"] and is_chat:
                 role_chunk = ChatCompletionChunk(
                     model=it.request.model,
                     choices=[
@@ -1229,7 +1249,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 )
                 chunk_id["v"] = role_chunk.id
                 emit(f"data: {role_chunk.model_dump_json()}\n\n")
-                first["v"] = False
+            first["v"] = False
             delta = ""
             cancelled = False
             if finish == "stop":
@@ -1259,18 +1279,28 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                     cancelled = True
             acc_state["emitted"] += len(delta)
             if delta or finish:
-                chunk = ChatCompletionChunk(
-                    model=it.request.model,
-                    choices=[
-                        ChatCompletionStreamChoice(
-                            index=0,
-                            delta=DeltaMessage(content=delta or None),
-                            finish_reason=finish,
-                        )
-                    ],
-                )
-                if chunk_id["v"]:
-                    chunk.id = chunk_id["v"]
+                if is_chat:
+                    chunk = ChatCompletionChunk(
+                        model=it.request.model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=0,
+                                delta=DeltaMessage(content=delta or None),
+                                finish_reason=finish,
+                            )
+                        ],
+                    )
+                    if chunk_id["v"]:
+                        chunk.id = chunk_id["v"]
+                else:
+                    chunk = CompletionChunk(
+                        model=it.request.model,
+                        choices=[
+                            CompletionStreamChoice(
+                                index=0, text=delta, finish_reason=finish
+                            )
+                        ],
+                    )
                 emit(f"data: {chunk.model_dump_json()}\n\n")
             if finish:
                 loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
