@@ -251,8 +251,46 @@ class DecodeEngine:
             fused = jnp.stack([toks.astype(jnp.float32), lps])
             return fused, tok, active, counts, key, cache, token_counts
 
+        def prefill_sample(
+            params, tokens, lengths, cache, temps, top_ps, key,
+            logit_bias, eos_arr, max_toks, row_valid,
+            sampler_mode="topp", with_counts=False,
+        ):
+            """Prefill + first-token sampling + first-step bookkeeping in
+            ONE program: the eager version of this tail was ~15 separate
+            op dispatches on the TTFT critical path."""
+            last, cache = prefill(params, tokens, lengths, cache)
+            key, sub = jax.random.split(key)
+            toks, lps = sampling.sample_tokens(
+                last, sub, temps, top_ps, logit_bias, mode=sampler_mode
+            )
+            # One stacked device->host transfer for token + logprob.
+            fused = jnp.stack([toks.astype(jnp.float32), lps])
+            if eos_arr.shape[0] > 0:
+                is_eos0 = jnp.any(
+                    toks[:, None] == eos_arr[None, :], axis=-1
+                )
+            else:
+                is_eos0 = jnp.zeros_like(row_valid)
+            active0 = row_valid & ~is_eos0 & (max_toks > 1)
+            counts0 = row_valid.astype(jnp.int32)
+            tc = None
+            if with_counts:
+                b_pad, v = last.shape
+                tc = (
+                    jnp.zeros((b_pad, v), dtype=jnp.int32)
+                    .at[jnp.arange(b_pad), toks]
+                    .add(counts0)
+                )
+            return fused, toks, active0, counts0, tc, key, cache
+
         # Donating the cache lets XLA update the KV slab in place.
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        self._prefill_sample = jax.jit(
+            prefill_sample,
+            static_argnames=("sampler_mode", "with_counts"),
+            donate_argnums=(3,),
+        )
         self._decode_chunk = jax.jit(
             decode_chunk,
             static_argnames=("n_steps", "sampler_mode", "s_hot"),
@@ -382,27 +420,6 @@ class DecodeEngine:
         prefill_chunk = int(
             os.environ.get("MLX_PARALLM_PREFILL_CHUNK", 2048)
         )
-        # (Chunking assumes feed position == absolute position; a prefix
-        # hit feeds lcp-relative suffixes, which are short — keep those
-        # monolithic.)
-        if feed.shape[1] > prefill_chunk and not prefix_hit:
-            last_logits, cache = self._prefill_chunked(
-                feed, lengths_np, cache, prefill_chunk
-            )
-        else:
-            last_logits, cache = self._prefill(
-                self.model.params,
-                jnp.asarray(feed),
-                jnp.asarray(lengths_np),
-                cache,
-            )
-        if (
-            self.prefix_cache is not None
-            and not prefix_hit
-            and lcp >= self.prefix_cache.min_tokens
-            and self.prefix_cache.should_store(prefix_key, b)
-        ):
-            self.prefix_cache.store(prefix_key, snapshot_prefix(cache, lcp))
         # Static sampler fast path: the full top-p path argsorts the vocab
         # every step (~2.6 ms for (8, 32k) on v5e); greedy/plain-temperature
         # batches skip it. At most 3 jit variants per shape bucket.
@@ -413,24 +430,7 @@ class DecodeEngine:
         else:
             sampler_mode = "topp"
 
-        key, sub = jax.random.split(key)
-        first_tokens, first_logprobs = sampling.sample_tokens(
-            last_logits,
-            sub,
-            jnp.asarray(temps),
-            jnp.asarray(top_ps),
-            logit_bias,
-            mode=sampler_mode,
-        )
-
         eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
-
-        # Device-side first-step bookkeeping, replicating the host logic
-        # below exactly: row active iff it is a real row, its first token
-        # is not EOS, and it may emit more than one token. Computing this
-        # on device lets the FIRST decode chunk dispatch before the first
-        # token is ever pulled to the host (the pull costs a full tunnel
-        # round trip; the chunk overlaps it).
         chunk = max(1, int(self.decode_steps_per_call))
         max_toks_dev = jnp.asarray(
             [p.max_tokens for p in seq_params] + [1] * (b_pad - b),
@@ -442,29 +442,12 @@ class DecodeEngine:
         row_valid = np.zeros((b_pad,), dtype=bool)
         row_valid[:b] = True
         row_valid_dev = jnp.asarray(row_valid)
-        if eos_arr.shape[0] > 0:
-            is_eos0 = jnp.any(
-                first_tokens[:, None] == eos_arr[None, :], axis=-1
-            )
-        else:
-            is_eos0 = jnp.zeros((b_pad,), dtype=bool)
-        active_dev = row_valid_dev & ~is_eos0 & (max_toks_dev > 1)
-        counts_dev = row_valid_dev.astype(jnp.int32)
-        tok_dev = first_tokens
-        n_decoded_total = 0
-
         use_penalties = any(
             p.presence_penalty or p.frequency_penalty
             or p.repetition_penalty != 1.0
             for p in seq_params
         )
         if use_penalties:
-            vocab = self.model.args.vocab_size
-            token_counts_dev = (
-                jnp.zeros((b_pad, vocab), dtype=jnp.int32)
-                .at[jnp.arange(b_pad), first_tokens]
-                .add(row_valid_dev.astype(jnp.int32))
-            )
             presence_dev = jnp.asarray(
                 [p.presence_penalty for p in seq_params] + [0.0] * (b_pad - b),
                 dtype=jnp.float32,
@@ -478,16 +461,75 @@ class DecodeEngine:
                 dtype=jnp.float32,
             )
         else:
-            token_counts_dev = None
             presence_dev = frequency_dev = repetition_dev = None
 
-        key_dev = key
-
-        # One device->host transfer for the first step (token + logprob
-        # stacked; separate pulls cost a tunnel round trip each).
-        fused_first = jnp.stack(
-            [first_tokens.astype(jnp.float32), first_logprobs]
-        )
+        # (Chunking assumes feed position == absolute position; a prefix
+        # hit feeds lcp-relative suffixes, which are short — keep those
+        # monolithic.)
+        if feed.shape[1] > prefill_chunk and not prefix_hit:
+            last_logits, cache = self._prefill_chunked(
+                feed, lengths_np, cache, prefill_chunk
+            )
+            key, sub = jax.random.split(key)
+            first_tokens, first_logprobs = sampling.sample_tokens(
+                last_logits,
+                sub,
+                temps_dev,
+                top_ps_dev,
+                logit_bias,
+                mode=sampler_mode,
+            )
+            if eos_arr.shape[0] > 0:
+                is_eos0 = jnp.any(
+                    first_tokens[:, None] == eos_arr[None, :], axis=-1
+                )
+            else:
+                is_eos0 = jnp.zeros((b_pad,), dtype=bool)
+            active_dev = row_valid_dev & ~is_eos0 & (max_toks_dev > 1)
+            counts_dev = row_valid_dev.astype(jnp.int32)
+            if use_penalties:
+                vocab = self.model.args.vocab_size
+                token_counts_dev = (
+                    jnp.zeros((b_pad, vocab), dtype=jnp.int32)
+                    .at[jnp.arange(b_pad), first_tokens]
+                    .add(counts_dev)
+                )
+            else:
+                token_counts_dev = None
+            key_dev = key
+            fused_first = jnp.stack(
+                [first_tokens.astype(jnp.float32), first_logprobs]
+            )
+        else:
+            # One jitted program: prefill + sampling + first-step
+            # bookkeeping (the eager tail cost ~15 dispatches of TTFT).
+            (
+                fused_first, first_tokens, active_dev, counts_dev,
+                token_counts_dev, key_dev, cache,
+            ) = self._prefill_sample(
+                self.model.params,
+                jnp.asarray(feed),
+                jnp.asarray(lengths_np),
+                cache,
+                temps_dev,
+                top_ps_dev,
+                key,
+                logit_bias,
+                eos_arr,
+                max_toks_dev,
+                row_valid_dev,
+                sampler_mode=sampler_mode,
+                with_counts=use_penalties,
+            )
+        tok_dev = first_tokens
+        n_decoded_total = 0
+        if (
+            self.prefix_cache is not None
+            and not prefix_hit
+            and lcp >= self.prefix_cache.min_tokens
+            and self.prefix_cache.should_store(prefix_key, b)
+        ):
+            self.prefix_cache.store(prefix_key, snapshot_prefix(cache, lcp))
 
         active = np.array(row_valid)
         n_generated = [1] * b
@@ -532,8 +574,12 @@ class DecodeEngine:
         # Dispatch the first decode chunk BEFORE pulling the first token:
         # the device decodes while the host processes/yields it. Skipped
         # when no row can generate past its first token.
+        # (MLX_PARALLM_LATE_FIRST_CHUNK=1 defers it until after the pull —
+        # TTFT A/B: the tunnel serves a device_get only after the queued
+        # work ahead of it.)
+        late_first = os.environ.get("MLX_PARALLM_LATE_FIRST_CHUNK") == "1"
         pending = None
-        if any(p.max_tokens > 1 for p in seq_params):
+        if not late_first and any(p.max_tokens > 1 for p in seq_params):
             pending = dispatch(
                 cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
             )
@@ -565,6 +611,12 @@ class DecodeEngine:
         decode_t0 = time.perf_counter()
         yield StepOutput(tokens=out_tokens, logprobs=out_lps, finished=out_fin)
 
+        if late_first and any(f is None for f in finish):
+            pending = dispatch(
+                cache, tok_dev, active_dev, counts_dev, key_dev,
+                token_counts_dev,
+            )
+            cache = pending[5]
         if pending is not None and all(f is not None for f in finish):
             # Every row finished at its first token; discard the in-flight
             # speculative chunk (it emits nothing).
@@ -577,12 +629,23 @@ class DecodeEngine:
             ) = pending
             # Speculatively dispatch the next chunk from the current chunk's
             # device outputs BEFORE draining it to the host — the device never
-            # idles on host processing. (Costs up to one wasted chunk at the
-            # very end.)
-            nxt = dispatch(
-                cache, tok_dev, active_dev, counts_dev, key_dev, token_counts_dev
+            # idles on host processing. Skipped when the in-flight chunk
+            # provably exhausts every row's token budget: a known-wasted
+            # chunk would occupy the device INTO THE NEXT REQUEST, adding
+            # up to a full chunk of device time to its TTFT (measured
+            # ~40 ms of the back-to-back TTFT at b8/chunk 8).
+            may_continue = any(
+                finish[i] is None
+                and n_generated[i] + chunk < seq_params[i].max_tokens
+                for i in range(b)
             )
-            cache = nxt[5]
+            nxt = None
+            if may_continue:
+                nxt = dispatch(
+                    cache, tok_dev, active_dev, counts_dev, key_dev,
+                    token_counts_dev,
+                )
+                cache = nxt[5]
 
             fused_host2 = np.asarray(jax.device_get(fused_chunk))  # (2, S, B)
             toks_host = fused_host2[0].astype(np.int64)
@@ -618,6 +681,15 @@ class DecodeEngine:
                 if all(f is not None for f in finish):
                     done_batch = True
                     break
+            if not done_batch and nxt is None:
+                # Guard: a row survived the budget prediction (cannot
+                # happen for EOS/length finishes, which the prediction
+                # covers; kept for safety) — dispatch late.
+                nxt = dispatch(
+                    cache, tok_dev, active_dev, counts_dev, key_dev,
+                    token_counts_dev,
+                )
+                cache = nxt[5]
             pending = None if done_batch else nxt
 
         self.kv_pool.release(cache)

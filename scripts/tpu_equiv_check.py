@@ -68,6 +68,7 @@ def qmm_checks():
         (16, 4096, 4096, 4),
         (32, 4096, 4096, 4),
         (16, 14336, 4096, 4),  # down_proj: whole-K nt=512 tiling
+        (1024, 4096, 4096, 4),  # prefill m: reordered (N, M) grid
         (16, 4096, 4096, 8),
     ):
         w = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32) * 0.05)
