@@ -159,10 +159,10 @@ def run_serving_bench(
     model,
     *,
     port: int = 18299,
-    n_requests: int = 24,
+    n_requests: int = 16,
     concurrency: int = 8,
     prompt_tokens: int = 128,
-    max_tokens: int = 64,
+    max_tokens: int = 128,
 ):
     """HTTP-level serving benchmark (VERDICT r3 #7): drives the REAL aiohttp
     server + continuous slot scheduler in-process over the bench model, with
@@ -293,7 +293,11 @@ def run_serving_bench(
         async def completion_tokens(sess):
             async with sess.get(f"{base}/debug/metrics") as r:
                 m = await r.json()
-            return int(m.get("completion_tokens_total", 0))
+            # The continuous scheduler reports slot-engine decode tokens.
+            return int(
+                m.get("decode_tokens_total")
+                or m.get("completion_tokens_total", 0)
+            )
 
         async def drive(n):
             ttfts: list = []

@@ -891,11 +891,23 @@ class SlotEngine:
             while True:
                 cur = spec
                 spec = None
+                # Skip speculation when the in-flight chunk provably
+                # exhausts every occupied slot's token budget — a wasted
+                # chunk occupies the device into the next admission's
+                # prefill (same fix as DecodeEngine: ~45 ms off
+                # back-to-back TTFT at b8/chunk 8).
+                may_continue = any(
+                    self._slot_generated[i] + self.chunk
+                    < r.params.max_tokens
+                    for i, r in enumerate(self._slot_req)
+                    if r is not None
+                )
                 can_spec = (
                     not sync.multi
                     and not self._stop.is_set()
                     and self._submit_q.empty()
                     and not any(self._pending_cancel)
+                    and may_continue
                 )
                 if can_spec:
                     # Host length mirrors lag by the in-flight chunk, so
