@@ -109,6 +109,9 @@ class DecodeEngine:
         kv_bits: int = 16,
     ):
         from .cache import GlobalPrefixCache, KVPool
+        from .compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
         self.model = model
         self.tokenizer = tokenizer

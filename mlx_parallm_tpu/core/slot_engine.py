@@ -83,7 +83,9 @@ class SlotEngine:
         disable_prefix_cache: bool = False,
     ):
         from ..parallel.distributed import HostSync
+        from .compile_cache import enable_compile_cache
 
+        enable_compile_cache()
         self.model = model
         self.tokenizer = tokenizer
         self.num_slots = num_slots
@@ -205,35 +207,102 @@ class SlotEngine:
                 x, NamedSharding(mesh, PartitionSpec())
             )
 
-        def prefill_batch(params, tokens, lengths, cache_b):
-            """Prefill a batch of admission rows into a scratch cache.
+        def prefill_commit(
+            params, tokens, lengths, scratch, cache,
+            active, counts, max_toks, temps, top_ps,
+            presence, frequency, repetition, keys, token_counts,
+            last_tokens, logit_bias,
+            slots, rows, slot_lens, seeds,
+            a_max_toks, a_temps, a_top_ps,
+            a_presence, a_frequency, a_repetition,
+            eos_arr, bias_rows,
+        ):
+            """ONE-program admission burst: batched prefill of the unique
+            prompt rows (``tokens``/``lengths`` — the scratch may already
+            hold a shared prefix, its ``lengths`` are the per-row write
+            offsets; prefix-KV reuse, reference utils.py:1206-1279),
+            first-token sampling for every admission, per-slot sampling
+            state commit, and scratch->slab KV insertion.
 
-            ``lengths`` are FINAL absolute valid counts; the scratch may
-            already hold a shared prefix (its ``lengths`` are the per-row
-            write offsets — prefix-KV reuse, reference utils.py:1206-1279)."""
-            start = cache_b.lengths
-            logits, cache_b = apply_fn(params, tokens, cache_b)
-            cache_b = dataclasses.replace(cache_b, lengths=lengths)
+            Replaces the round-3 admission path (~13 host-dispatched
+            scatter programs + one 1-row insert program per admission,
+            each a tunnel round trip) and lets the driver dispatch the
+            next decode chunk BEFORE pulling first tokens to the host —
+            the device never idles across an admission.
+
+            ``slots`` rows equal to ``num_slots`` are padding (scatters
+            drop out-of-bounds indices); ``rows`` maps each admission to
+            its deduplicated prefill row."""
+            start = scratch.lengths
+            logits, scratch = apply_fn(params, tokens, scratch)
+            scratch = dataclasses.replace(scratch, lengths=lengths)
             last = jnp.take_along_axis(
                 logits, (lengths - start - 1)[:, None, None], axis=1
             )[:, 0]
-            return replicated(last), cache_b
 
-        def insert_slot(cache, scratch, row, slot, slot_lengths):
-            """Copy scratch row ``row`` into slot ``slot`` of the slab."""
+            # Per-admission RNG streams from the broadcast seeds (same
+            # PRNGKey+split scheme as the host-side round-3 path, so
+            # fixed-seed outputs are unchanged).
+            base = jax.vmap(jax.random.PRNGKey)(seeds)
+            split = jax.vmap(jax.random.split)(base)  # (K, 2, 2)
+            slot_keys, subs = split[:, 0], split[:, 1]
+            first, _lp = sampling.sample_tokens(
+                last[rows], None, a_temps, a_top_ps, bias_rows,
+                row_keys=subs,
+            )
+            if eos_arr.shape[0] > 0:
+                is_eos = jnp.any(
+                    first[:, None] == eos_arr[None, :], axis=-1
+                )
+            else:
+                is_eos = jnp.zeros(first.shape, bool)
+            slot_active = (~is_eos) & (a_max_toks > 1)
+
+            drop = dict(mode="drop")
+            active = active.at[slots].set(slot_active, **drop)
+            counts = counts.at[slots].set(1, **drop)
+            max_toks = max_toks.at[slots].set(a_max_toks, **drop)
+            temps = temps.at[slots].set(a_temps, **drop)
+            top_ps = top_ps.at[slots].set(a_top_ps, **drop)
+            presence = presence.at[slots].set(a_presence, **drop)
+            frequency = frequency.at[slots].set(a_frequency, **drop)
+            repetition = repetition.at[slots].set(a_repetition, **drop)
+            keys = keys.at[slots].set(slot_keys, **drop)
+            token_counts = token_counts.at[slots].set(0, **drop)
+            token_counts = token_counts.at[slots, first].set(1, **drop)
+            last_tokens = last_tokens.at[slots].set(first, **drop)
+            if logit_bias is not None:
+                # Zero-or-overwrite: a bias-free request reusing a
+                # previously-biased slot must clear the stale row.
+                logit_bias = logit_bias.at[slots].set(
+                    bias_rows if bias_rows is not None else 0.0, **drop
+                )
+
             updates = {}
             for field in dataclasses.fields(cache):
                 if field.name == "lengths":
                     continue
-                buf = getattr(cache, field.name)  # (L, B, S, ...)
-                src = jax.lax.dynamic_slice_in_dim(
-                    getattr(scratch, field.name), row, 1, axis=1
-                )  # (L, 1, S, ...)
-                updates[field.name] = jax.lax.dynamic_update_slice(
-                    buf, src, (0, slot) + (0,) * (buf.ndim - 2)
+                buf = getattr(cache, field.name)  # (L, B, ...)
+                src = jnp.take(
+                    getattr(scratch, field.name), rows, axis=1
+                )  # (L, K, ...) — trailing extents may be narrower than
+                # the slab's (scratch capacity <= slab capacity)
+                idx = (slice(None), slots) + tuple(
+                    slice(0, e) for e in src.shape[2:]
                 )
-            updates["lengths"] = slot_lengths
-            return dataclasses.replace(cache, **updates)
+                # A single advanced index keeps its axis position, so the
+                # update is (L, K, ...) — src as-is.
+                updates[field.name] = buf.at[idx].set(src, **drop)
+            updates["lengths"] = cache.lengths.at[slots].set(
+                slot_lens, **drop
+            )
+            cache = dataclasses.replace(cache, **updates)
+            return (
+                replicated(first), scratch, cache,
+                active, counts, max_toks, temps, top_ps,
+                presence, frequency, repetition, keys, token_counts,
+                last_tokens, logit_bias,
+            )
 
         def decode_chunk(
             params, cache, last_tokens, active, counts, max_toks,
@@ -295,8 +364,11 @@ class SlotEngine:
                 token_counts,
             )
 
-        self._prefill_batch = jax.jit(prefill_batch, donate_argnums=(3,))
-        self._insert_slot = jax.jit(insert_slot, donate_argnums=(0,))
+        # Donate the scratch, the slab, and every state buffer: the commit
+        # updates all of them in place.
+        self._prefill_commit = jax.jit(
+            prefill_commit, donate_argnums=tuple(range(3, 17))
+        )
         self._decode_chunk = jax.jit(
             decode_chunk,
             static_argnames=("n_steps", "sampler_mode", "s_hot"),
@@ -462,21 +534,25 @@ class SlotEngine:
             parts.append(cur)
         return parts
 
-    def _admit_batch(self, admissions: List[dict]) -> None:
-        """Prefill + insert a WHOLE admission burst in one batched pass.
+    def _admit_batch(self, admissions: List[dict]) -> dict:
+        """Dispatch a WHOLE admission burst as ONE device program
+        (``prefill_commit``): dedup'd batched prefill, first-token
+        sampling, state commit, and slab insertion.
 
         The round-2 engine ran one 1-row prefill + host sync PER admission,
         stalling every running slot for K sequential prefills (VERDICT r2
-        weak #4). Here:
+        weak #4); round 3 batched the prefill but still issued ~13 tiny
+        scatter programs per admission and blocked on the first-token pull
+        before the next decode chunk could start. Here everything commits
+        in one launch and NOTHING blocks: the returned handle carries the
+        on-device first tokens, pulled by :meth:`_admit_finish` AFTER the
+        driver has dispatched the next decode chunk.
 
           * identical prompts (``n>1`` choices) are deduplicated — ONE
             prefill row serves every copy (each slot still samples with its
             own RNG stream / params);
-          * all unique prompts prefill as one right-padded batch;
           * the batch consults/feeds the global prefix-KV LRU exactly like
-            ``DecodeEngine`` (reference utils.py:1206-1279);
-          * first tokens for every admission sample in one call with ONE
-            host sync.
+            ``DecodeEngine`` (reference utils.py:1206-1279).
 
         Runs identically on every process (inputs come from the broadcast
         schedule); only host 0 has real callbacks installed."""
@@ -577,11 +653,81 @@ class SlotEngine:
             scratch = shard_cache(scratch, self.mesh)
         if prefix_hit:
             scratch = seed_cache_with_prefix(scratch, snap, lcp)
-        last_logits, scratch = self._prefill_batch(
+
+        # Per-slot logit bias rows (zeroed IN the commit program when a
+        # bias-free request reuses a previously-biased slot).
+        vocab = self.model.args.vocab_size
+        k_adm = len(admissions)
+        # Admission vectors are FIXED at num_slots wide: padding rows cost
+        # a few extra scatter/sample lanes (negligible), while a variable
+        # width would multiply the fused program's jit variants — each one
+        # a full-prefill compile that stalls live traffic when first hit.
+        k_pad = self.num_slots
+        bias_np = None
+        for j, adm in enumerate(admissions):
+            slot = adm["slot"]
+            bias_pairs = adm.get("logit_bias") or None
+            if bias_pairs:
+                if bias_np is None:
+                    bias_np = np.zeros((k_pad, vocab), dtype=np.float32)
+                for tid, val in bias_pairs:
+                    if 0 <= int(tid) < vocab:
+                        bias_np[j, int(tid)] = float(val)
+                self._slot_bias[slot] = True
+            else:
+                self._slot_bias[slot] = False
+        if bias_np is not None and self._logit_bias is None:
+            self._logit_bias = jnp.zeros(
+                (self.num_slots, vocab), dtype=jnp.float32
+            )
+
+        # Padded admission vectors; padding scatters to slot index
+        # ``num_slots`` which every in-program update drops.
+        slots_np = np.full((k_pad,), self.num_slots, np.int32)
+        rows_np = np.zeros((k_pad,), np.int32)
+        lens_np = np.zeros((k_pad,), np.int32)
+        seeds_np = np.zeros((k_pad,), np.uint32)
+        maxtok_np = np.ones((k_pad,), np.int32)
+        temps_np = np.zeros((k_pad,), np.float32)
+        topps_np = np.ones((k_pad,), np.float32)
+        pres_np = np.zeros((k_pad,), np.float32)
+        freq_np = np.zeros((k_pad,), np.float32)
+        rep_np = np.ones((k_pad,), np.float32)
+        for j, adm in enumerate(admissions):
+            slots_np[j] = adm["slot"]
+            rows_np[j] = adm_row[j]
+            lens_np[j] = len(adm["tokens"])
+            seeds_np[j] = np.uint32(adm["seed"] & 0xFFFFFFFF)
+            maxtok_np[j] = adm["max_tokens"]
+            temps_np[j] = adm["temperature"]
+            topps_np[j] = adm["top_p"]
+            pres_np[j] = adm["presence"]
+            freq_np[j] = adm["frequency"]
+            rep_np[j] = adm["repetition"]
+
+        (
+            first, scratch, self._cache,
+            self._active, self._counts, self._max_toks, self._temps,
+            self._top_ps, self._presence, self._frequency,
+            self._repetition, self._keys, self._token_counts,
+            self._last_tokens, self._logit_bias,
+        ) = self._prefill_commit(
             self.model.params,
             jnp.asarray(tokens),
             jnp.asarray(final_lens),
             scratch,
+            self._cache,
+            self._active, self._counts, self._max_toks, self._temps,
+            self._top_ps, self._presence, self._frequency,
+            self._repetition, self._keys, self._token_counts,
+            self._last_tokens, self._logit_bias,
+            jnp.asarray(slots_np), jnp.asarray(rows_np),
+            jnp.asarray(lens_np), jnp.asarray(seeds_np),
+            jnp.asarray(maxtok_np), jnp.asarray(temps_np),
+            jnp.asarray(topps_np), jnp.asarray(pres_np),
+            jnp.asarray(freq_np), jnp.asarray(rep_np),
+            self._eos_arr,
+            jnp.asarray(bias_np) if bias_np is not None else None,
         )
         self.metrics["admission_prefills_total"] += 1
         if (
@@ -591,104 +737,43 @@ class SlotEngine:
             and pc.should_store(prefix_key, len(admissions))
         ):
             pc.store(prefix_key, snapshot_prefix(scratch, lcp))
+        self._pool.release(scratch)
 
-        # Per-slot logit bias rows (zeroed when a bias-free request reuses
-        # a previously-biased slot).
-        vocab = self.model.args.vocab_size
-        k_adm = len(admissions)
-        bias_np = None
-        for j, adm in enumerate(admissions):
+        # Host bookkeeping that must precede the next chunk dispatch (the
+        # hot-window bound reads _slot_len); callbacks wait for
+        # _admit_finish.
+        for adm in admissions:
             slot = adm["slot"]
-            bias_pairs = adm.get("logit_bias") or None
-            if bias_pairs:
-                row = np.zeros((vocab,), dtype=np.float32)
-                for tid, val in bias_pairs:
-                    if 0 <= int(tid) < vocab:
-                        row[int(tid)] = float(val)
-                if bias_np is None:
-                    bias_np = np.zeros((k_adm, vocab), dtype=np.float32)
-                bias_np[j] = row
-                if self._logit_bias is None:
-                    self._logit_bias = jnp.zeros(
-                        (self.num_slots, vocab), dtype=jnp.float32
-                    )
-                self._logit_bias = self._logit_bias.at[slot].set(
-                    jnp.asarray(row)
-                )
-                self._slot_bias[slot] = True
-            elif self._slot_bias[slot]:
-                self._logit_bias = self._logit_bias.at[slot].set(0.0)
-                self._slot_bias[slot] = False
+            self._slot_generated[slot] = 1
+            self._slot_len[slot] = len(adm["tokens"])
+            self.metrics["admitted_total"] += 1
+        return {"first": first, "admissions": admissions}
 
-        # Batched first-token sampling: one call, one host sync for the
-        # whole burst. Per-admission RNG streams stay fixed by the
-        # broadcast seeds.
-        splits = [
-            jax.random.split(jax.random.PRNGKey(adm["seed"]))
-            for adm in admissions
-        ]
-        slot_keys = [s[0] for s in splits]
-        subs = jnp.stack([s[1] for s in splits])  # (K, 2)
-        sel = last_logits[jnp.asarray(adm_row, dtype=jnp.int32)]
-        first, _lp = sampling.sample_tokens(
-            sel,
-            None,
-            jnp.asarray([a["temperature"] for a in admissions], jnp.float32),
-            jnp.asarray([a["top_p"] for a in admissions], jnp.float32),
-            jnp.asarray(bias_np) if bias_np is not None else None,
-            row_keys=subs,
-        )
-        first_host = np.asarray(jax.device_get(first))
-
+    def _admit_finish(self, handle: dict) -> None:
+        """Pull an admission burst's first tokens and run callbacks —
+        called AFTER the driver has dispatched the following decode chunk,
+        so the transfer overlaps device compute."""
+        admissions = handle["admissions"]
+        first_host = np.asarray(jax.device_get(handle["first"]))
         eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
         for j, adm in enumerate(admissions):
             slot = adm["slot"]
-            ids = adm["tokens"]
             req = self._slot_req[slot]
             first_tok = int(first_host[j])
-
-            self._slot_generated[slot] = 1
-            self._slot_len[slot] = len(ids)
             finish = None
             if first_tok in eos_ids:
                 finish = "stop"
             elif adm["max_tokens"] <= 1:
                 finish = "length"
-            if req.on_token is not None:
+            if req is not None and req.on_token is not None:
                 keep = req.on_token(first_tok, finish)
                 if keep is False and finish is None:
                     # Host-side cancel at admission: applied (on every
                     # process) at the next driver iteration.
                     self._pending_cancel[slot] = True
-
-            new_lengths = self._cache.lengths.at[slot].set(len(ids))
-            self._cache = self._insert_slot(
-                self._cache,
-                scratch,
-                jnp.asarray(adm_row[j], dtype=jnp.int32),
-                slot,
-                new_lengths,
-            )
-            slot_active = finish is None
-            self._active = self._active.at[slot].set(slot_active)
-            self._counts = self._counts.at[slot].set(1)
-            self._max_toks = self._max_toks.at[slot].set(adm["max_tokens"])
-            self._temps = self._temps.at[slot].set(adm["temperature"])
-            self._top_ps = self._top_ps.at[slot].set(adm["top_p"])
-            self._presence = self._presence.at[slot].set(adm["presence"])
-            self._frequency = self._frequency.at[slot].set(adm["frequency"])
-            self._repetition = self._repetition.at[slot].set(
-                adm["repetition"]
-            )
-            self._keys = self._keys.at[slot].set(slot_keys[j])
-            self._token_counts = self._token_counts.at[slot].set(0)
-            self._token_counts = self._token_counts.at[slot, first_tok].set(1)
-            self._last_tokens = self._last_tokens.at[slot].set(first_tok)
-            if not slot_active:
+            if finish is not None:
                 self._slot_req[slot] = None
                 self._pending_cancel[slot] = False
-            self.metrics["admitted_total"] += 1
-        self._pool.release(scratch)
 
     def _dispatch_chunk(self, margin: int = 1):
         """Dispatch one device decode chunk from the current slot state.
@@ -875,11 +960,15 @@ class SlotEngine:
                     self._active = self._active.at[slot].set(False)
                     self._slot_req[slot] = None
                     self._pending_cancel[slot] = False
-            for part in self._split_admissions(admissions or []):
+            pending_admits = [
                 self._admit_batch(part)
+                for part in self._split_admissions(admissions or [])
+            ]
             if op == HostSync.OP_IDLE or not any(
                 r is not None for r in self._slot_req
             ):
+                for h in pending_admits:
+                    self._admit_finish(h)
                 continue
 
             # Decode until new work arrives. Single-process mode
@@ -887,7 +976,12 @@ class SlotEngine:
             # the host (mirroring DecodeEngine's lookahead) so the device
             # never idles on callback processing; multi-process mode stays
             # strictly command-driven (one chunk per broadcast iteration).
+            # The chunk is dispatched BEFORE the admission bursts' first
+            # tokens are pulled: the pull then overlaps the chunk instead
+            # of stalling the device.
             spec = self._dispatch_chunk(margin=1)
+            for h in pending_admits:
+                self._admit_finish(h)
             while True:
                 cur = spec
                 spec = None
@@ -902,10 +996,16 @@ class SlotEngine:
                     for i, r in enumerate(self._slot_req)
                     if r is not None
                 )
+                # Queued work only blocks speculation when an admission is
+                # actually possible (a slot is free): under a deep burst
+                # with all slots busy, disabling the lookahead made EVERY
+                # chunk pay the drain+dispatch serialization — the round-4
+                # HTTP bench measured the continuous scheduler at ~1/4 of
+                # the engine's decode rate largely from this.
                 can_spec = (
                     not sync.multi
                     and not self._stop.is_set()
-                    and self._submit_q.empty()
+                    and (self._submit_q.empty() or self.free_slots == 0)
                     and not any(self._pending_cancel)
                     and may_continue
                 )

@@ -26,6 +26,7 @@ import json
 import logging
 import os
 import time
+from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -1232,12 +1233,43 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         chunk_id = {"v": None}
 
         def emit(line: str) -> None:
-            loop.call_soon_threadsafe(it.queue.put_nowait, line)
+            it.queue.put_nowait(line)
 
         stops = sp.stop or []
         acc_state = {"emitted": 0}
 
+        # SSE chunk construction (pydantic + JSON, ~0.1 ms/token) must NOT
+        # run on the engine driver thread — at b8/chunk 8 that is several
+        # ms of serialization serialized into every chunk drain. The
+        # driver callback only appends raw (tid, finish) pairs and
+        # schedules ONE coalesced event-loop flush per drain; ``handle``
+        # below (the old callback body) runs on the event loop.
+        buf: deque = deque()
+        flush_scheduled = [False]
+        # Driver-side detokenizer only when host-side stop sequences need
+        # a cancel decision inside the callback itself.
+        stop_detok = tok.make_detokenizer() if stops else None
+
+        def flush() -> None:
+            flush_scheduled[0] = False
+            while buf:
+                tid, fin = buf.popleft()
+                handle(tid, fin)
+
         def on_token(tid: int, finish: Optional[str]):
+            hit = False
+            if stop_detok is not None:
+                if finish != "stop":
+                    stop_detok.add_token(tid)
+                acc = stop_detok.text
+                hit = any(s and s in acc for s in stops)
+            buf.append((tid, finish))
+            if not flush_scheduled[0]:
+                flush_scheduled[0] = True
+                loop.call_soon_threadsafe(flush)
+            return not hit
+
+        def handle(tid: int, finish: Optional[str]):
             if first["v"] and is_chat:
                 role_chunk = ChatCompletionChunk(
                     model=it.request.model,
@@ -1251,7 +1283,6 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                 emit(f"data: {role_chunk.model_dump_json()}\n\n")
             first["v"] = False
             delta = ""
-            cancelled = False
             if finish == "stop":
                 detok.finalize()
                 delta = detok.last_segment
@@ -1276,7 +1307,6 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                     already = acc_state["emitted"]
                     delta = keep_text[already:] if len(keep_text) > already else ""
                     finish = "stop"
-                    cancelled = True
             acc_state["emitted"] += len(delta)
             if delta or finish:
                 if is_chat:
@@ -1303,8 +1333,7 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
                     )
                 emit(f"data: {chunk.model_dump_json()}\n\n")
             if finish:
-                loop.call_soon_threadsafe(it.queue.put_nowait, DONE_SENTINEL)
-            return not cancelled
+                it.queue.put_nowait(DONE_SENTINEL)
 
         def on_error(reason: str) -> None:
             err = json.dumps(
