@@ -66,6 +66,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="Continuous scheduler: pre-compile admission + decode "
+        "program buckets at startup so first live traffic never stalls "
+        "behind an XLA compile (one-time per machine with the "
+        "persistent compilation cache)",
+    )
+    p.add_argument(
+        "--warmup-prompt-lens",
+        default="128",
+        help="Comma-separated prompt-length buckets to warm (with "
+        "--warmup)",
+    )
     return p
 
 
@@ -89,6 +103,10 @@ def args_from_namespace(ns: argparse.Namespace) -> ServerArgs:
         coordinator=ns.coordinator,
         num_processes=ns.num_processes,
         process_id=ns.process_id,
+        warmup=ns.warmup,
+        warmup_prompt_lens=tuple(
+            int(x) for x in str(ns.warmup_prompt_lens).split(",") if x
+        ),
     )
 
 

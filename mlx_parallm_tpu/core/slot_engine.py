@@ -445,6 +445,65 @@ class SlotEngine:
         self._submit_q.put(req)
         self._wake.set()
 
+    def warmup(self, prompt_lens: Sequence[int] = (128,)) -> float:
+        """Pre-compile the admission + decode programs for common shape
+        buckets so the first live request never stalls behind an XLA
+        compile (the reference has no trace/compile step at all —
+        MLX executes eagerly — so a TPU-native server owes the user
+        this at startup; pairs with core.compile_cache so the cost is
+        once per machine, ever).
+
+        Per prompt-length bucket, three synthetic mini-batches ride the
+        NORMAL driver path (so multi-host followers replay them too):
+        a single greedy admission (b_pad=1 prefill + greedy chunk), a
+        single temperature-only admission (temp chunk), and a full
+        burst of distinct prompts (b_pad=num_slots prefill + top-p
+        chunk). Returns the wall seconds spent."""
+        assert self._sync.primary, "warmup drives admissions from host 0"
+        t0 = time.perf_counter()
+        gen = self.chunk + 2  # at least one full decode chunk
+        for plen in prompt_lens:
+            plen = max(2, min(plen, self.capacity - gen - 1))
+            batches = [
+                [SamplingParams(max_tokens=gen, temperature=0.0)],
+                [SamplingParams(max_tokens=gen, temperature=0.7, top_p=1.0)],
+                [
+                    SamplingParams(
+                        max_tokens=gen, temperature=0.7, top_p=0.9, seed=i
+                    )
+                    for i in range(self.num_slots)
+                ],
+            ]
+            for params_list in batches:
+                done = threading.Event()
+                remaining = [len(params_list)]
+
+                def make_cb():
+                    def cb(tid, finish):
+                        if finish:
+                            remaining[0] -= 1
+                            if remaining[0] == 0:
+                                done.set()
+                        return True
+
+                    return cb
+
+                for i, sp in enumerate(params_list):
+                    # Distinct tails defeat prompt dedup so the burst
+                    # compiles the full-width prefill bucket.
+                    ids = [1] * (plen - 1) + [2 + i]
+                    self.submit(
+                        SlotRequest(
+                            prompt_tokens=ids, params=sp, on_token=make_cb()
+                        )
+                    )
+                if not done.wait(timeout=900.0):
+                    logger.warning("warmup batch timed out (plen=%d)", plen)
+                    break
+        dt = time.perf_counter() - t0
+        logger.info("SlotEngine warmup done in %.1f s", dt)
+        return dt
+
     @property
     def free_slots(self) -> int:
         return sum(

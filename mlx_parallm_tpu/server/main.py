@@ -95,6 +95,10 @@ class ServerArgs:
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    # Continuous scheduler: pre-compile admission/decode buckets at
+    # startup (SlotEngine.warmup) before taking traffic.
+    warmup: bool = False
+    warmup_prompt_lens: tuple = (128,)
 
     @property
     def wants_mesh(self) -> bool:
@@ -153,6 +157,7 @@ class ServerArgs:
                 if "MLX_PARALLM_PROCESS_ID" in os.environ
                 else None
             ),
+            warmup=os.environ.get("MLX_PARALLM_WARMUP", "") in ("1", "true"),
         )
 
 
@@ -1127,6 +1132,12 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
         kv_bits=args.kv_bits,
     )
     engine.start()
+    if args.warmup:
+        # Compile the admission + decode buckets before taking traffic;
+        # requests arriving meanwhile queue behind the warmup batches.
+        await asyncio.to_thread(
+            engine.warmup, tuple(args.warmup_prompt_lens) or (128,)
+        )
     app["slot_engine"] = engine
     logger.info("continuous_scheduler_worker started (slot engine)")
 

@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 
 from mlx_parallm_tpu.ops import qmm_pallas  # noqa: E402
 
-ITERS = 24
+ITERS = 192
 MASK = 0x0F0F0F0F
 
 
@@ -35,7 +35,66 @@ def make_kernel(variant, reps):
     def body(xe_ref, xo_ref, xe8_ref, xo8_ref, w_ref, s_ref, out_ref):
         kt = pl.program_id(2)
         w = w_ref[0]
-        if variant == "dma":
+        if variant in ("gdot", "gdotn", "gdotb"):
+            # Group-batched UNSCALED dots + scale applied to the small
+            # (G, mt, nt) accumulator: trades the per-weight scale-mult
+            # (the binding VPU cost) for G batched K=gs/2 MXU dots and a
+            # G*mt*nt f32 scale-sum. Assumes a group-major plane layout
+            # (rows of group g contiguous) — random weights here, rate
+            # probe only.
+            even = pltpu.bitcast(w & jnp.uint32(MASK), jnp.int8)
+            odd = pltpu.bitcast(
+                (w >> jnp.uint32(4)) & jnp.uint32(MASK), jnp.int8
+            )
+            nt_ = even.shape[1]
+            gg = even.shape[0] // reps
+            er = even.astype(jnp.bfloat16).reshape(gg, reps, nt_)
+            orr = odd.astype(jnp.bfloat16).reshape(gg, reps, nt_)
+            dn = (((2,), (1,)), ((0,), (0,)))
+            te = jax.lax.dot_general(
+                xe_ref[:], er, dn, preferred_element_type=jnp.float32
+            )
+            to = jax.lax.dot_general(
+                xo_ref[:], orr, dn, preferred_element_type=jnp.float32
+            )
+            if variant == "gdotn":
+                # Diagnostic: batched-dot cost WITHOUT the scale-sum.
+                acc = (te[0] + to[0]).astype(jnp.float32)
+            elif variant == "gdotb":
+                # bf16 combine: cast each f32 dot output once (fusable
+                # into the matmul output write), then run the add/scale
+                # passes at bf16 lane rate, reducing in f32.
+                s3 = s_ref[:][:, None, :]
+                t16 = te.astype(jnp.bfloat16) + to.astype(jnp.bfloat16)
+                acc = jnp.sum(t16 * s3, axis=0, dtype=jnp.float32)
+            else:
+                s3 = s_ref[:].astype(jnp.float32)[:, None, :]
+                acc = jnp.sum((te + to) * s3, axis=0)
+        elif variant == "bscale":
+            # Same math as prod but WITHOUT materializing the repeated
+            # scale map: rows are group-interleaved (row r -> group
+            # r mod G), so a (reps, G, nt) reshape view aligns a
+            # broadcast multiply against the (G, nt) scales directly.
+            even = pltpu.bitcast(w & jnp.uint32(MASK), jnp.int8)
+            odd = pltpu.bitcast(
+                (w >> jnp.uint32(4)) & jnp.uint32(MASK), jnp.int8
+            )
+            rows, nt_ = even.shape
+            gg = s_ref.shape[0]
+            sb = s_ref[:][None, :, :]
+            we = (
+                even.astype(jnp.bfloat16).reshape(rows // gg, gg, nt_) * sb
+            ).reshape(rows, nt_)
+            wo = (
+                odd.astype(jnp.bfloat16).reshape(rows // gg, gg, nt_) * sb
+            ).reshape(rows, nt_)
+            acc = jnp.dot(
+                xe_ref[:], we, preferred_element_type=jnp.float32
+            )
+            acc += jnp.dot(
+                xo_ref[:], wo, preferred_element_type=jnp.float32
+            )
+        elif variant == "dma":
             # Block is DMA'd per the BlockSpec regardless; touch 4 rows.
             acc = pltpu.bitcast(w[:4], jnp.int8).astype(jnp.float32)
         else:
@@ -99,10 +158,30 @@ def run_variant(xe, xo, xe8, xo8, wk, st, *, variant, gs, nt, gsize=64):
     kw_tile = qmm_pallas._kw_tile(kw, g, mt, nt_, 4)
     n_kt = kw // kw_tile
     rows_t = 4 * kw_tile
-    kernel = make_kernel(variant, rows_t // g)
-    x_spec = pl.BlockSpec(
-        (mt, rows_t), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM
-    )
+    if variant in ("gdot", "gdotn", "gdotb"):
+        reps = (4 * kw) // g  # plane rows per group = gs/2
+        g_t = rows_t // reps  # groups per K tile
+        kernel = make_kernel(variant, reps)
+        xeg = xe.reshape(m, g, reps).transpose(1, 0, 2)
+        xog = xo.reshape(m, g, reps).transpose(1, 0, 2)
+        x_inputs = [xeg, xog, xeg, xog]
+        x_spec = pl.BlockSpec(
+            (g_t, mt, reps),
+            lambda i, j, kt: (kt, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        s_spec = pl.BlockSpec(
+            (g_t, nt_), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM
+        )
+    else:
+        kernel = make_kernel(variant, rows_t // g)
+        x_inputs = [xe, xo, xe8, xo8]
+        x_spec = pl.BlockSpec(
+            (mt, rows_t), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM
+        )
+        s_spec = pl.BlockSpec(
+            (g, nt_), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -114,9 +193,7 @@ def run_variant(xe, xo, xe8, xo8, wk, st, *, variant, gs, nt, gsize=64):
                 lambda i, j, kt: (j, kt, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (g, nt_), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM
-            ),
+            s_spec,
         ],
         out_specs=pl.BlockSpec(
             (mt, nt_), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM
@@ -129,11 +206,11 @@ def run_variant(xe, xo, xe8, xo8, wk, st, *, variant, gs, nt, gsize=64):
             bytes_accessed=n * kw * 4 + m * k * 2 + m * n * 4,
             transcendentals=0,
         ),
-    )(xe, xo, xe8, xo8, wk, st)
+    )(*x_inputs, wk, st)
     return out
 
 
-def time_variant(variant, m, k, n, nt, gs=64, chain=6):
+def time_variant(variant, m, k, n, nt, gs=64, chain=8):
     g = k // gs
     ws = []
     for i in range(chain):
@@ -169,7 +246,7 @@ def time_variant(variant, m, k, n, nt, gs=64, chain=6):
         r = jf(x0, *flat)
         np.asarray(jax.device_get(r))
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             r = jf(x0, *flat)
             np.asarray(jax.device_get(r))
@@ -190,13 +267,21 @@ def time_variant(variant, m, k, n, nt, gs=64, chain=6):
 
 def main():
     print(f"backend={jax.default_backend()}")
+    import os
+
     shapes = [
         (4096, 4096, 1024),
+        (4096, 4096, 512),
         (14336, 4096, 512),
         (4096, 28672, 1024),
+        (4096, 28672, 512),
     ]
+    variants = tuple(
+        (os.environ.get("VARIANTS") or "prod,noscale,noconv,nodot,dma")
+        .split(",")
+    )
     for k, n, nt in shapes:
-        for variant in ("prod", "noscale", "noconv", "nodot", "dma"):
+        for variant in variants:
             try:
                 time_variant(variant, 16, k, n, nt)
             except Exception as e:

@@ -379,3 +379,31 @@ def test_more_requests_than_slots(slot_setup):
         th.join(timeout=180)
     assert all(r in ("stop", "length") for r in results)
     assert engine.metrics["admitted_total"] >= 6
+
+
+def test_warmup_compiles_and_serves(slot_setup):
+    """warmup() runs the synthetic bucket batches through the normal
+    driver and the engine still serves real traffic afterwards."""
+    model, tok, engine = slot_setup
+    dt = engine.warmup(prompt_lens=(16,))
+    assert dt > 0
+    assert engine.free_slots == engine.num_slots
+    out = _run_request(engine, tok.encode("after warmup"), 4)
+    assert out["finish"] in ("stop", "length")
+    assert len(out["tokens"]) >= 1
+
+
+def test_compile_cache_toggle(monkeypatch, tmp_path):
+    import importlib
+
+    from mlx_parallm_tpu.core import compile_cache as cc
+
+    importlib.reload(cc)
+    monkeypatch.setenv("MLX_PARALLM_NO_COMPILE_CACHE", "1")
+    assert cc.enable_compile_cache() is False
+    monkeypatch.delenv("MLX_PARALLM_NO_COMPILE_CACHE")
+    monkeypatch.setenv("MLX_PARALLM_COMPILE_CACHE_DIR", str(tmp_path / "jc"))
+    assert cc.enable_compile_cache() is True
+    assert (tmp_path / "jc").is_dir()
+    # Idempotent.
+    assert cc.enable_compile_cache() is True
