@@ -100,21 +100,21 @@ def _kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(compute_dtype)  # (HG*rep, D), pre-scaled
-        rows = []
-        for h in range(hg):
-            q_h = q[h * rep : (h + 1) * rep, :]  # (rep, D)
-            k_h = k_ref[0, 0, h].astype(compute_dtype)  # (SBLK, D)
-            s_h = jax.lax.dot_general(
-                q_h,
-                k_h,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (rep, SBLK)
-            if quantized:
-                s_h = s_h * ks_ref[0, 0][h : h + 1, :].astype(jnp.float32)
-            rows.append(s_h)
-        scores = rows[0] if hg == 1 else jnp.concatenate(rows, axis=0)
+        # ONE batched dot over the head-group dim instead of hg tiny
+        # (rep, SBLK) dots + concatenates (see flash_append: the per-call
+        # fixed cost of small MXU ops dominated at large batch).
+        d = q_ref.shape[-1]
+        q3 = q_ref[0, 0].astype(compute_dtype).reshape(hg, rep, d)
+        k3 = k_ref[0, 0].astype(compute_dtype)  # (hg, SBLK, D)
+        scores3 = jax.lax.dot_general(
+            q3,
+            k3,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (hg, rep, SBLK)
+        if quantized:
+            scores3 = scores3 * ks_ref[0, 0][:, None, :].astype(jnp.float32)
+        scores = scores3.reshape(hg * rep, scores3.shape[-1])
         if softcap is not None:
             scores = jnp.tanh(scores / softcap) * softcap
 
@@ -132,21 +132,16 @@ def _kernel(
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_new
 
-        outs = []
-        for h in range(hg):
-            p_h = p[h * rep : (h + 1) * rep, :]
-            if quantized:
-                p_h = p_h * vs_ref[0, 0][h : h + 1, :].astype(jnp.float32)
-            v_h = v_ref[0, 0, h].astype(compute_dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    p_h.astype(v_h.dtype),
-                    v_h,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )  # (rep, D)
-        pv = outs[0] if hg == 1 else jnp.concatenate(outs, axis=0)
+        p3 = p.reshape(hg, rep, p.shape[-1])
+        if quantized:
+            p3 = p3 * vs_ref[0, 0][:, None, :].astype(jnp.float32)
+        v3 = v_ref[0, 0].astype(compute_dtype)  # (hg, SBLK, D)
+        pv = jax.lax.dot_general(
+            p3.astype(v3.dtype),
+            v3,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(hg * rep, d)
         acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(si == ns - 1)
@@ -200,13 +195,21 @@ def flash_decode(
     rep = hq // hkv
     quantized = k_scale is not None
     kv_bytes = 1 if quantized else 2
-    hg = _choose_hg(hkv, rep)
+    # Same joint layout rule as flash_append._choose_layout: maximize
+    # heads per grid step (fewer steps — per-step fixed cost dominates at
+    # large batch), cap the S block at 512 so per-row dead-block DMA
+    # elision keeps working at long contexts.
+    hg = hkv
+    while hkv % hg != 0:
+        hg -= 1
     sblk = _choose_sblk(s, d, kv_bytes, hg)
     while sblk == 0 and hg > 1:
         hg = max(1, hg // 2)
         while hkv % hg != 0:
             hg -= 1
         sblk = _choose_sblk(s, d, kv_bytes, hg)
+    if sblk > 512 and s % 512 == 0:
+        sblk = 512
     assert sblk > 0, (s, d)
     ns = s // sblk
     ng = hkv // hg  # head groups

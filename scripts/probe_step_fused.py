@@ -31,8 +31,8 @@ from mlx_parallm_tpu.core.engine import DecodeEngine  # noqa: E402
 from mlx_parallm_tpu.ops import attention as ATT  # noqa: E402
 from mlx_parallm_tpu.ops import rope as R  # noqa: E402
 
-B = 8
-S_HOT = 512
+B = int(os.environ.get("PROBE_B", 8))
+S_HOT = int(os.environ.get("PROBE_SHOT", 512))
 PROMPT = 128
 STEPS = 64
 
