@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.base import KVCache
 from ..ops import sampling
 from .engine import SamplingParams, _bucket_len
 from .loader import Model

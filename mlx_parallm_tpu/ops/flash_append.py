@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_decode import _choose_hg, _choose_sblk  # noqa: F401 (gate)
+from .flash_decode import _choose_sblk
 
 
 def _choose_layout(hkv: int, rep: int, s: int, d: int, kv_bytes: int):
