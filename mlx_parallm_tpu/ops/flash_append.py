@@ -71,7 +71,7 @@ NEG_INF = -1e30
 # KV write-back block: rows written back to HBM per (row, kv-head). Must be
 # a multiple of the int8 sublane tile (32) and divide the slab capacity
 # (capacities are multiples of 256).
-WBLK = 64
+WBLK = 32
 
 
 def supported(q, cache_k, lengths) -> bool:
