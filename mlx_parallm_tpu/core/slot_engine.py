@@ -109,6 +109,9 @@ class SlotEngine:
         self._submit_q: "queue.Queue[SlotRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._wake = threading.Event()
+        # warmup(): briefly parks _drain_queue so a multi-request burst is
+        # admitted atomically (one full-width prefill compile).
+        self._hold_admissions = False
         self._thread: Optional[threading.Thread] = None
 
         # Host-side slot table.
@@ -239,10 +242,12 @@ class SlotEngine:
                 logits, (lengths - start - 1)[:, None, None], axis=1
             )[:, 0]
 
-            # Per-admission RNG streams from the broadcast seeds (same
-            # PRNGKey+split scheme as the host-side round-3 path, so
-            # fixed-seed outputs are unchanged).
-            base = jax.vmap(jax.random.PRNGKey)(seeds)
+            # Per-admission RNG streams from the broadcast seeds. ``seeds``
+            # is (K, 2) uint32 [hi, lo] — exactly the threefry key words
+            # ``jax.random.PRNGKey(seed)`` would produce, so fixed-seed
+            # outputs match the host-side path for FULL 64-bit seeds
+            # (hi=0 for seeds < 2**32).
+            base = seeds
             split = jax.vmap(jax.random.split)(base)  # (K, 2, 2)
             slot_keys, subs = split[:, 0], split[:, 1]
             first, _lp = sampling.sample_tokens(
@@ -466,6 +471,12 @@ class SlotEngine:
             batches = [
                 [SamplingParams(max_tokens=gen, temperature=0.0)],
                 [SamplingParams(max_tokens=gen, temperature=0.7, top_p=1.0)],
+                # Bias-carrying variant (a distinct jit signature).
+                [
+                    SamplingParams(
+                        max_tokens=gen, temperature=0.7, logit_bias={3: 1.0}
+                    )
+                ],
                 [
                     SamplingParams(
                         max_tokens=gen, temperature=0.7, top_p=0.9, seed=i
@@ -487,15 +498,25 @@ class SlotEngine:
 
                     return cb
 
-                for i, sp in enumerate(params_list):
-                    # Distinct tails defeat prompt dedup so the burst
-                    # compiles the full-width prefill bucket.
-                    ids = [1] * (plen - 1) + [2 + i]
-                    self.submit(
-                        SlotRequest(
-                            prompt_tokens=ids, params=sp, on_token=make_cb()
+                # Hold admissions while the burst enqueues so the driver
+                # admits it as ONE batch (its b_pad=num_slots prefill
+                # variant must compile here, not on live traffic); the
+                # per-submit wake would otherwise let the driver split it.
+                self._hold_admissions = True
+                try:
+                    for i, sp in enumerate(params_list):
+                        # Distinct tails defeat prompt dedup so the burst
+                        # compiles the full-width prefill bucket.
+                        ids = [1] * (plen - 1) + [2 + i]
+                        self.submit(
+                            SlotRequest(
+                                prompt_tokens=ids, params=sp,
+                                on_token=make_cb(),
+                            )
                         )
-                    )
+                finally:
+                    self._hold_admissions = False
+                    self._wake.set()
                 if not done.wait(timeout=900.0):
                     logger.warning("warmup batch timed out (plen=%d)", plen)
                     break
@@ -519,6 +540,8 @@ class SlotEngine:
         driver iteration that must be broadcast to follower processes);
         the matching SlotRequest callbacks are installed here."""
         admissions: List[dict] = []
+        if self._hold_admissions:
+            return admissions
         taken = set()
         while True:
             free = [
@@ -744,7 +767,7 @@ class SlotEngine:
         slots_np = np.full((k_pad,), self.num_slots, np.int32)
         rows_np = np.zeros((k_pad,), np.int32)
         lens_np = np.zeros((k_pad,), np.int32)
-        seeds_np = np.zeros((k_pad,), np.uint32)
+        seeds_np = np.zeros((k_pad, 2), np.uint32)  # [hi, lo] key words
         maxtok_np = np.ones((k_pad,), np.int32)
         temps_np = np.zeros((k_pad,), np.float32)
         topps_np = np.ones((k_pad,), np.float32)
@@ -755,7 +778,8 @@ class SlotEngine:
             slots_np[j] = adm["slot"]
             rows_np[j] = adm_row[j]
             lens_np[j] = len(adm["tokens"])
-            seeds_np[j] = np.uint32(adm["seed"] & 0xFFFFFFFF)
+            seeds_np[j, 0] = np.uint32((adm["seed"] >> 32) & 0xFFFFFFFF)
+            seeds_np[j, 1] = np.uint32(adm["seed"] & 0xFFFFFFFF)
             maxtok_np[j] = adm["max_tokens"]
             temps_np[j] = adm["temperature"]
             topps_np[j] = adm["top_p"]

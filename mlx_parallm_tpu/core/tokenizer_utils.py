@@ -41,6 +41,14 @@ class IncrementalDetokenizer:
             window = window[: self._window_emitted]
         return self._committed + window
 
+    @property
+    def peek_text(self) -> str:
+        """Like :attr:`text` but INCLUDES the withheld incomplete-UTF-8
+        tail (as U+FFFD). Non-destructive — for matching stop sequences
+        that may complete inside the buffered tail without waiting for
+        the next token or a destructive :meth:`finalize`."""
+        return self._committed + self._decode_window()
+
     def _decode_window(self) -> str:
         return self._tokenizer.decode(
             self.tokens[self._window_start :],

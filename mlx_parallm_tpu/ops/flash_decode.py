@@ -43,17 +43,6 @@ NEG_INF = -1e30
 _KV_VMEM_BUDGET = 8 * 2**20
 
 
-def _choose_hg(hkv: int, rep: int) -> int:
-    """Heads per grid step: enough that the softmax block has ~8 real
-    sublane rows (rep=1 models otherwise waste 7/8 of the VPU on padding),
-    and it must divide hkv."""
-    want = max(1, 8 // max(rep, 1))
-    hg = min(want, hkv)
-    while hkv % hg != 0:
-        hg -= 1
-    return hg
-
-
 def _choose_sblk(s: int, d: int, kv_bytes: int, hg: int = 1) -> int:
     for sblk in (4096, 2048, 1024, 512, 256, 128):
         if s % sblk != 0:
@@ -61,6 +50,27 @@ def _choose_sblk(s: int, d: int, kv_bytes: int, hg: int = 1) -> int:
         if 2 * 2 * hg * sblk * d * kv_bytes <= _KV_VMEM_BUDGET:
             return sblk
     return 0
+
+
+def choose_hg_sblk(hkv: int, s: int, d: int, kv_bytes: int):
+    """Joint (hg, sblk) rule shared by flash_decode and flash_append:
+    maximize KV heads per grid step FIRST (fewer grid steps — the per-step
+    fixed cost dominates at large batch), then cap the S block at 512 so
+    per-row dead-block DMA elision keeps working at long contexts (an
+    uncapped block spans the whole slab and silently reads every row's
+    full capacity)."""
+    hg = hkv
+    while hkv % hg != 0:
+        hg -= 1
+    sblk = _choose_sblk(s, d, kv_bytes, hg)
+    while sblk == 0 and hg > 1:
+        hg = max(1, hg // 2)
+        while hkv % hg != 0:
+            hg -= 1
+        sblk = _choose_sblk(s, d, kv_bytes, hg)
+    if sblk > 512 and s % 512 == 0:
+        sblk = 512
+    return hg, sblk
 
 
 def _kernel(
@@ -195,21 +205,7 @@ def flash_decode(
     rep = hq // hkv
     quantized = k_scale is not None
     kv_bytes = 1 if quantized else 2
-    # Same joint layout rule as flash_append._choose_layout: maximize
-    # heads per grid step (fewer steps — per-step fixed cost dominates at
-    # large batch), cap the S block at 512 so per-row dead-block DMA
-    # elision keeps working at long contexts.
-    hg = hkv
-    while hkv % hg != 0:
-        hg -= 1
-    sblk = _choose_sblk(s, d, kv_bytes, hg)
-    while sblk == 0 and hg > 1:
-        hg = max(1, hg // 2)
-        while hkv % hg != 0:
-            hg -= 1
-        sblk = _choose_sblk(s, d, kv_bytes, hg)
-    if sblk > 512 and s % 512 == 0:
-        sblk = 512
+    hg, sblk = choose_hg_sblk(hkv, s, d, kv_bytes)
     assert sblk > 0, (s, d)
     ns = s // sblk
     ng = hkv // hg  # head groups

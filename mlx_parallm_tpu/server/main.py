@@ -566,7 +566,11 @@ async def create_completion(request: web.Request) -> web.Response:
         return await _completion_with_logprobs(request.app, rec, body, prompt)
 
     if body.stream:
-        if args.scheduler == "continuous" and (body.n or 1) == 1:
+        if (body.n or 1) > 1:
+            # Same contract as the chat route: a stream carries ONE choice
+            # (the co-batched worker would otherwise silently drop n).
+            return _json_error(400, "Streaming with n>1 is not supported")
+        if args.scheduler == "continuous":
             item = StreamQueuedCompletion(
                 request=body, prompt=prompt, queue=asyncio.Queue()
             )
@@ -1272,7 +1276,11 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
             if stop_detok is not None:
                 if finish != "stop":
                     stop_detok.add_token(tid)
-                acc = stop_detok.text
+                # peek_text includes the withheld incomplete-UTF-8 tail, so
+                # a stop sequence completed only inside the buffered tail
+                # cancels the slot now, not one token late (the emitted
+                # text is truncated by ``handle`` either way).
+                acc = stop_detok.peek_text
                 hit = any(s and s in acc for s in stops)
             buf.append((tid, finish))
             if not flush_scheduled[0]:
