@@ -34,8 +34,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--kv-bits",
         type=int,
         choices=[8, 16],
-        default=16,
-        help="KV cache precision: 8 = INT8-quantized KV (half memory)",
+        default=None,
+        help="KV cache precision: 8 = INT8-quantized KV (half memory). "
+        "Default: 8 for the continuous scheduler, 16 otherwise",
+    )
+    p.add_argument(
+        "--num-slots",
+        type=int,
+        default=None,
+        help="Continuous scheduler: decode slot count "
+        "(default 2 x max-batch-size — oversubscribed so arrival bursts "
+        "admit immediately)",
     )
     p.add_argument(
         "--slot-context-length",
@@ -97,6 +106,7 @@ def args_from_namespace(ns: argparse.Namespace) -> ServerArgs:
         diverse_mode=ns.diverse_mode,
         max_context_length=ns.max_context_length,
         kv_bits=ns.kv_bits,
+        num_slots=ns.num_slots,
         slot_context_length=ns.slot_context_length,
         tp=ns.tp,
         dp=ns.dp,

@@ -66,6 +66,8 @@ class SlotRequest:
     # multi-host run, device failure — so the serving layer can fail the
     # request immediately instead of waiting out its timeout.
     on_error: Optional[Callable[[str], None]] = None
+    # Stamped by submit(); feeds the admit_queue_wait metric.
+    submit_time: float = 0.0
 
 
 class SlotEngine:
@@ -132,6 +134,10 @@ class SlotEngine:
             "admitted_total": 0,
             "admission_prefills_total": 0,
             "active_slots": 0,
+            # TTFT decomposition (host 0): submit->admission-dispatch wait,
+            # and dispatch->first-token-pulled (device prefill + overlap).
+            "admit_queue_wait_total": 0.0,
+            "admit_prefill_wall_total": 0.0,
         }
         from .cache import GlobalPrefixCache
 
@@ -446,6 +452,7 @@ class SlotEngine:
             if req.on_error is not None:
                 req.on_error(self.fail_reason or "engine failed")
             return
+        req.submit_time = time.perf_counter()
         self._submit_q.put(req)
         self._wake.set()
 
@@ -477,13 +484,24 @@ class SlotEngine:
                         max_tokens=gen, temperature=0.7, logit_bias={3: 1.0}
                     )
                 ],
-                [
-                    SamplingParams(
-                        max_tokens=gen, temperature=0.7, top_p=0.9, seed=i
-                    )
-                    for i in range(self.num_slots)
-                ],
             ]
+            # Every power-of-two burst width up to a full house: live
+            # traffic arrives in partial bursts (e.g. the 3 stragglers of
+            # a wave) and each b_pad is its own prefill_commit compile —
+            # hit them here, not mid-measurement. The persistent compile
+            # cache makes this once-per-machine.
+            width = 2
+            while width <= self.num_slots:
+                batches.append(
+                    [
+                        SamplingParams(
+                            max_tokens=gen, temperature=0.7, top_p=0.9,
+                            seed=i,
+                        )
+                        for i in range(width)
+                    ]
+                )
+                width *= 2
             for params_list in batches:
                 done = threading.Event()
                 remaining = [len(params_list)]
@@ -824,12 +842,18 @@ class SlotEngine:
         # Host bookkeeping that must precede the next chunk dispatch (the
         # hot-window bound reads _slot_len); callbacks wait for
         # _admit_finish.
+        now = time.perf_counter()
         for adm in admissions:
             slot = adm["slot"]
             self._slot_generated[slot] = 1
             self._slot_len[slot] = len(adm["tokens"])
             self.metrics["admitted_total"] += 1
-        return {"first": first, "admissions": admissions}
+            req = self._slot_req[slot]
+            if req is not None and req.submit_time > 0:
+                self.metrics["admit_queue_wait_total"] += (
+                    now - req.submit_time
+                )
+        return {"first": first, "admissions": admissions, "t_dispatch": now}
 
     def _admit_finish(self, handle: dict) -> None:
         """Pull an admission burst's first tokens and run callbacks —
@@ -837,6 +861,9 @@ class SlotEngine:
         so the transfer overlaps device compute."""
         admissions = handle["admissions"]
         first_host = np.asarray(jax.device_get(handle["first"]))
+        self.metrics["admit_prefill_wall_total"] += (
+            time.perf_counter() - handle["t_dispatch"]
+        )
         eos_ids = getattr(self.tokenizer, "eos_token_ids", set()) or set()
         for j, adm in enumerate(admissions):
             slot = adm["slot"]

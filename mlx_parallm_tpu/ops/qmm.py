@@ -64,6 +64,57 @@ def qmm_grouped(x, q_int8, scales, biases, *, group_size, bits):
     return y.reshape(*lead, n).astype(x.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qmm_pallas_ad(meta, x, q_kernel, scales_t, biases_t, scales, biases):
+    """Fused Pallas quantized matmul with a custom VJP.
+
+    Forward is the Pallas kernel verbatim; backward reconstructs the
+    dequantized weight (``quant.dequant_from_kernel``) and returns
+    ``dx = dy @ W`` — the only cotangent that exists (weights are frozen
+    integer storage; LoRA deltas differentiate through their own ops)."""
+    from . import qmm_pallas
+
+    group_size, bits = meta
+    return qmm_pallas.qmm_pallas(
+        x, q_kernel, scales, biases, group_size=group_size, bits=bits,
+        scales_t=scales_t, biases_t=biases_t,
+    )
+
+
+def _qmm_pallas_ad_fwd(meta, x, q_kernel, scales_t, biases_t, scales, biases):
+    y = _qmm_pallas_ad(meta, x, q_kernel, scales_t, biases_t, scales, biases)
+    return y, (q_kernel, scales_t, biases_t, scales, biases)
+
+
+def _qmm_pallas_ad_bwd(meta, res, dy):
+    import numpy as np
+
+    group_size, bits = meta
+    q_kernel, scales_t, biases_t, scales, biases = res
+    w = quant.dequant_from_kernel(
+        q_kernel, scales_t, biases_t,
+        group_size=group_size, bits=bits, dtype=dy.dtype,
+    )  # (N_pad, K) — dy carries the kernel's padded N
+    dx = jax.lax.dot_general(
+        dy, w, (((dy.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dy.dtype)
+    return (
+        dx,
+        np.zeros(q_kernel.shape, jax.dtypes.float0),
+        jnp.zeros_like(scales_t),
+        jnp.zeros_like(biases_t),
+        jnp.zeros_like(scales),
+        jnp.zeros_like(biases),
+    )
+
+
+_qmm_pallas_ad.defvjp(_qmm_pallas_ad_fwd, _qmm_pallas_ad_bwd)
+
+
 def qmm(
     x,
     packed,
@@ -100,10 +151,35 @@ def qmm(
                 impl = "dequant"
         elif q_int8 is not None:
             impl = "grouped"
+        elif (
+            packed is None
+            and q_kernel is not None
+            and q_scales_t is not None
+        ):
+            # Kernel-layout-only tree (no MLX packed mirror) off-TPU:
+            # reconstruct the weight from the tiled layout.
+            impl = "dequant_kernel"
         else:
             impl = "dequant"
 
+    if impl == "dequant_kernel":
+        w = quant.dequant_from_kernel(
+            q_kernel, q_scales_t, q_biases_t,
+            group_size=group_size, bits=bits, dtype=x.dtype,
+        )
+        return x @ w.T
+
     if impl == "pallas":
+        if q_scales_t is not None and q_biases_t is not None:
+            # Differentiable wrapper: the Pallas kernel has no AD rule, so
+            # training programs (GRPO grads flow through every linear's
+            # INPUT) would crash on the TPU hot path. The custom VJP keeps
+            # the fused kernel forward and computes dx = dy @ W through a
+            # one-shot dequant reconstruction (backward-only cost).
+            return _qmm_pallas_ad(
+                (group_size, bits), x, q_kernel, q_scales_t, q_biases_t,
+                scales, biases,
+            )
         from . import qmm_pallas
 
         return qmm_pallas.qmm_pallas(

@@ -37,7 +37,9 @@ _NIBBLE_MASK = 0x0F0F0F0F
 
 def _m_tile(m_pad: int) -> int:
     """Decode batches use the minimum sublane tile; prefill / large batches
-    use a full MXU-height tile."""
+    use a full MXU-height tile. (mt=32 at m=64 looked faster in the
+    isolated probe_qmm_m64 but lost 5.5 ms/step e2e at b64 — the doubled
+    weight re-stream dominates in-program; mt == m_pad stands.)"""
     for cand in (256, 128, 64, 32):
         if m_pad % cand == 0:
             return cand

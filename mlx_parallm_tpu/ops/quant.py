@@ -337,3 +337,47 @@ def untile_kernel(wk3: jax.Array) -> jax.Array:
     """Inverse of ``tile_kernel``: (T, Kw, NT) -> (Kw, T*NT)."""
     t, kw, nt = wk3.shape
     return wk3.transpose(1, 0, 2).reshape(kw, t * nt)
+
+
+def dequant_from_kernel(
+    q_kernel: jax.Array,
+    scales_t: jax.Array,
+    biases_t: jax.Array,
+    *,
+    group_size: int,
+    bits: int,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Reconstruct the dequantized ``(N, K)`` weight from the TILED kernel
+    layout (inverse of ``tile_kernel(kernel_pack(...))``).
+
+    Training-path helper: the fused Pallas matmul has no autodiff rule, so
+    its custom VJP (``ops.qmm``) computes ``dx = dy @ W`` through this
+    reconstruction. ``scales_t``/``biases_t`` are the (G, N) kernel
+    mirrors — for INT8 the stored values are already -128-biased and the
+    bias mirror carries the matching correction, so ``W = s*v + b`` holds
+    for the SIGNED reinterpretation directly."""
+    import numpy as np
+
+    wk = untile_kernel(q_kernel)  # (Kw, N) uint32
+    per_word = 32 // bits
+    kw, n = wk.shape
+    k = kw * per_word
+    # (N, Kw*per_word) in (word-row, slot) order = kernel plane order.
+    vals = unpack(wk.T, bits, dtype=jnp.uint32)
+    if bits == 8:
+        vals = jax.lax.bitcast_convert_type(
+            vals.astype(jnp.uint8), jnp.int8
+        ).astype(jnp.int32)
+    else:
+        vals = vals.astype(jnp.int32)
+    # Invert the kernel element permutation: slot m holds original input
+    # element perm[m].
+    perm = kernel_layout_indices(k, group_size, bits).reshape(-1)
+    inv = np.argsort(perm)
+    q = vals[:, jnp.asarray(inv)]  # (N, K) original element order
+    g = k // group_size
+    qg = q.reshape(n, g, group_size).astype(jnp.float32)
+    s = scales_t.T.astype(jnp.float32)[..., None]  # (N, G, 1)
+    b = biases_t.T.astype(jnp.float32)[..., None]
+    return (qg * s + b).reshape(n, k).astype(dtype)

@@ -38,6 +38,12 @@ DEFAULT_KEYS = ("self_attn.q_proj", "self_attn.v_proj")
 
 def _linear_in_out(lin: dict, qcfg) -> tuple:
     """(in_features, out_features) of a (possibly quantized) linear dict."""
+    if "weight" not in lin and "scales" in lin:
+        # Kernel-layout-only linear (tiled ``wk`` without the packed
+        # ``weight`` mirror): dims come from the (N, G) scales.
+        gs, bits = qcfg if qcfg else (64, 4)
+        s = lin["scales"]
+        return s.shape[1] * gs, s.shape[0]
     w = lin["weight"]
     n = w.shape[0]
     if "scales" in lin:

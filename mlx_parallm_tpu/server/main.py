@@ -80,7 +80,16 @@ class ServerArgs:
     scheduler: str = "default"  # "default" | "continuous"
     diverse_mode: bool = False
     max_context_length: int = 32768
-    kv_bits: int = 16
+    # None = per-scheduler default: 16 for the continuous slot scheduler
+    # (INT8 KV — the bench's best throughput configuration, halves slab
+    # memory so the slot pool can oversubscribe), 16-bit for the default
+    # scheduler. Set explicitly to override.
+    kv_bits: Optional[int] = None
+    # Continuous-scheduler slot count. None = 2 * max_batch_size: the
+    # oversubscribed pool admits arrival bursts immediately instead of
+    # queueing them behind running generations (TTFT tail), at the slab
+    # cost INT8 KV just paid for.
+    num_slots: Optional[int] = None
     # Continuous-scheduler KV slab capacity per slot (slab memory =
     # num_slots * this; bounded separately from the request-validation
     # max_context_length). Must match across hosts in a multi-host run.
@@ -99,6 +108,18 @@ class ServerArgs:
     # startup (SlotEngine.warmup) before taking traffic.
     warmup: bool = False
     warmup_prompt_lens: tuple = (128,)
+
+    @property
+    def resolved_kv_bits(self) -> int:
+        if self.kv_bits is not None:
+            return self.kv_bits
+        return 8 if self.scheduler == "continuous" else 16
+
+    @property
+    def resolved_num_slots(self) -> int:
+        if self.num_slots is not None:
+            return self.num_slots
+        return 2 * self.max_batch_size
 
     @property
     def wants_mesh(self) -> bool:
@@ -132,7 +153,16 @@ class ServerArgs:
             max_context_length=int(
                 os.environ.get("MAX_CONTEXT_LENGTH", 32768)
             ),
-            kv_bits=int(os.environ.get("KV_BITS", 16)),
+            kv_bits=(
+                int(os.environ["KV_BITS"])
+                if "KV_BITS" in os.environ
+                else None
+            ),
+            num_slots=(
+                int(os.environ["MLX_PARALLM_NUM_SLOTS"])
+                if "MLX_PARALLM_NUM_SLOTS" in os.environ
+                else None
+            ),
             slot_context_length=int(
                 os.environ.get("MLX_PARALLM_SLOT_CONTEXT", 4096)
             ),
@@ -371,7 +401,7 @@ async def startup_event(app: web.Application) -> None:
             tokenizer,
             max_batch_size=args.max_batch_size,
             max_context_length=args.max_context_length,
-            kv_bits=args.kv_bits,
+            kv_bits=args.resolved_kv_bits,
         )
         record.adapter_path = args.lora_path
         record.status = ModelStatus.LOADED
@@ -421,6 +451,10 @@ async def debug_metrics(request: web.Request) -> web.Response:
         METRICS["decode_tokens_total"] = sm["decode_tokens_total"]
         METRICS["decode_time_total"] = sm["decode_time_total"]
         METRICS["active_slots"] = sm["active_slots"]
+        METRICS["admitted_total"] = sm["admitted_total"]
+        METRICS["admission_prefills_total"] = sm["admission_prefills_total"]
+        METRICS["admit_queue_wait_total"] = sm["admit_queue_wait_total"]
+        METRICS["admit_prefill_wall_total"] = sm["admit_prefill_wall_total"]
         if sm["decode_time_total"] > 0:
             METRICS["last_decode_tps"] = (
                 sm["decode_tokens_total"] / sm["decode_time_total"]
@@ -1131,9 +1165,9 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
     engine = SlotEngine(
         model,
         tok,
-        num_slots=args.max_batch_size,
+        num_slots=args.resolved_num_slots,
         max_context_length=min(args.max_context_length, args.slot_context_length),
-        kv_bits=args.kv_bits,
+        kv_bits=args.resolved_kv_bits,
     )
     engine.start()
     if args.warmup:
@@ -1395,8 +1429,8 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
             for item in items:
                 METRICS["queue_depth"] = req_q.qsize()
                 _record_batch_fill(
-                    max(1, args.max_batch_size - engine.free_slots),
-                    args.max_batch_size,
+                    max(1, engine.num_slots - engine.free_slots),
+                    engine.num_slots,
                 )
                 if isinstance(item, QueuedRequest):
                     submit_completion(item)
@@ -1405,6 +1439,14 @@ async def continuous_scheduler_worker(app: web.Application) -> None:
             m = engine.metrics
             METRICS["decode_tokens_total"] = m["decode_tokens_total"]
             METRICS["decode_time_total"] = m["decode_time_total"]
+            METRICS["admitted_total"] = m["admitted_total"]
+            METRICS["admission_prefills_total"] = m[
+                "admission_prefills_total"
+            ]
+            METRICS["admit_queue_wait_total"] = m["admit_queue_wait_total"]
+            METRICS["admit_prefill_wall_total"] = m[
+                "admit_prefill_wall_total"
+            ]
             if m["decode_time_total"] > 0:
                 METRICS["last_decode_tps"] = (
                     m["decode_tokens_total"] / m["decode_time_total"]
@@ -1444,9 +1486,9 @@ def run_follower(args: ServerArgs) -> None:
     engine = SlotEngine(
         model,
         tokenizer,
-        num_slots=args.max_batch_size,
+        num_slots=args.resolved_num_slots,
         max_context_length=min(args.max_context_length, args.slot_context_length),
-        kv_bits=args.kv_bits,
+        kv_bits=args.resolved_kv_bits,
         mesh=mesh,
     )
     logger.info("Follower process ready; replaying host-0 slot schedule")

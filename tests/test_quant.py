@@ -116,3 +116,88 @@ def test_choose_n_tile_properties():
             assert qmm_pallas._kw_tile(
                 kw, k // gs, qmm_pallas.M_TILE, nt, bits
             ) > 0
+
+
+def test_dequant_from_kernel_roundtrip():
+    """dequant_from_kernel inverts tile_kernel(kernel_pack(...)) — the
+    training path's backward-weight reconstruction must agree with the
+    plain MLX-layout dequantization bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlx_parallm_tpu.ops import quant
+
+    rng = np.random.default_rng(0)
+    for bits, gs, k, n in [(4, 64, 512, 512), (8, 32, 256, 512)]:
+        w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+        packed, scales, biases = quant.quantize(w, gs, bits)
+        ref = np.asarray(
+            quant.dequantize(packed, scales, biases, gs, bits), np.float32
+        )
+        wk = quant.tile_kernel(quant.kernel_pack(packed, gs, bits), 256)
+        sk, bk = quant.kernel_scale_mirrors(scales, biases, bits)
+        got = np.asarray(
+            quant.dequant_from_kernel(
+                wk, sk, bk, group_size=gs, bits=bits, dtype=jnp.float32
+            ),
+            np.float32,
+        )
+        # bf16 mirrors round the scales/biases (the fp32 reference does
+        # not); worst case is ~q_max * eps_bf16 * |scale-magnitude| —
+        # compare at bf16 resolution, not exactly.
+        np.testing.assert_allclose(got, ref, rtol=1.3e-2, atol=5e-2)
+        # The element PERMUTATION must be exact: reconstruct with fp32
+        # mirrors and require bitwise agreement.
+        sk32 = scales.astype(jnp.float32).T
+        bk32 = biases.astype(jnp.float32).T
+        if bits == 8:
+            bk32 = bk32 + 128.0 * sk32
+        exact = np.asarray(
+            quant.dequant_from_kernel(
+                wk, sk32, bk32, group_size=gs, bits=bits, dtype=jnp.float32
+            ),
+            np.float32,
+        )
+        # fp32-noise-only agreement (the int8 +128*s bias fold reorders
+        # the arithmetic): any permutation error would be O(scale), not
+        # O(1e-6).
+        np.testing.assert_allclose(exact, ref, atol=1e-5)
+
+
+def test_qmm_grad_through_kernel_layout():
+    """Gradients flow through qmm's kernel-layout path (the GRPO training
+    program differentiates every linear's input)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlx_parallm_tpu.ops import qmm, quant
+
+    rng = np.random.default_rng(1)
+    k, n, gs, bits = 256, 512, 64, 4
+    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    packed, scales, biases = quant.quantize(w, gs, bits)
+    wk = quant.tile_kernel(quant.kernel_pack(packed, gs, bits), 256)
+    sk, bk = quant.kernel_scale_mirrors(scales, biases, bits)
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+
+    def loss(x):
+        y = qmm.qmm(
+            x, None, scales, biases, group_size=gs, bits=bits,
+            q_kernel=wk, q_scales_t=sk, q_biases_t=bk,
+        )
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(x)
+    w_deq = quant.dequant_from_kernel(
+        wk, sk, bk, group_size=gs, bits=bits, dtype=jnp.float32
+    )
+    y = x.astype(jnp.float32) @ w_deq.T
+    g_ref = 2.0 * y @ w_deq
+    # bf16 activations/cotangents round at ~1% relative; a permutation or
+    # scale bug would be O(|g|)-wrong everywhere, not sub-percent.
+    g = np.asarray(g, np.float32)
+    g_ref = np.asarray(g_ref, np.float32)
+    denom = max(1.0, float(np.abs(g_ref).max()))
+    assert np.abs(g - g_ref).max() / denom < 0.02
