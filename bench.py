@@ -352,6 +352,146 @@ def run_serving_bench(
         th.join(timeout=30)
     return out
 
+def build_random_quantized_mixtral(
+    *,
+    hidden: int = 4096,
+    layers: int = 12,
+    heads: int = 32,
+    kv_heads: int = 8,
+    ffn: int = 14336,
+    vocab: int = 32768,
+    n_experts: int = 8,
+    top_k: int = 2,
+    group_size: int = 64,
+    bits: int = 4,
+    seed: int = 0,
+):
+    """Random mixtral-shape MoE model in the stacked expert kernel layout
+    (``wk3``/``sk3``/``bk3`` — what ``loader.load`` builds on TPU). Full
+    8x7B INT4 is ~23 GB and does not fit one v5e chip; ``layers`` scales
+    depth down while keeping every per-layer shape exact, so per-layer
+    kernel rates and the roofline ratio are the real thing."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_parallm_tpu.core.loader import Model
+    from mlx_parallm_tpu.models import mixtral
+    from mlx_parallm_tpu.ops import quant
+
+    key = jax.random.PRNGKey(seed)
+    per_word = 32 // bits
+
+    def ql(key, out_f, in_f):
+        k1, k2, k3 = jax.random.split(key, 3)
+        g = in_f // group_size
+        nt = quant.choose_n_tile(in_f, out_f, bits)
+        wk = jax.random.bits(
+            k1, (out_f // nt, in_f // per_word, nt), jnp.uint32
+        )
+        scales = (
+            jax.random.uniform(k2, (out_f, g), jnp.float32) * 0.02 + 0.001
+        ).astype(jnp.bfloat16)
+        biases = (
+            jax.random.uniform(k3, (out_f, g), jnp.float32) * 0.02 - 0.16
+        ).astype(jnp.bfloat16)
+        sk, bk = quant.kernel_scale_mirrors(scales, biases, bits)
+        return {"wk": wk, "scales": scales, "biases": biases, "sk": sk, "bk": bk}
+
+    def ql_experts(key, out_f, in_f):
+        k1, k2, k3 = jax.random.split(key, 3)
+        g = in_f // group_size
+        nt = quant.choose_n_tile_expert(in_f, out_f, bits, group_size=group_size)
+        assert nt is not None, (in_f, out_f)
+        wk3 = jax.random.bits(
+            k1, (n_experts, out_f // nt, in_f // per_word, nt), jnp.uint32
+        )
+        scales = (
+            jax.random.uniform(k2, (n_experts, out_f, g), jnp.float32) * 0.02
+            + 0.001
+        ).astype(jnp.bfloat16)
+        biases = (
+            jax.random.uniform(k3, (n_experts, out_f, g), jnp.float32) * 0.02
+            - 0.16
+        ).astype(jnp.bfloat16)
+        pairs = [
+            quant.kernel_scale_mirrors(scales[e], biases[e], bits)
+            for e in range(n_experts)
+        ]
+        return {
+            "wk3": wk3,
+            "scales": scales,
+            "biases": biases,
+            "sk3": jnp.stack([a for a, _ in pairs]),
+            "bk3": jnp.stack([b for _, b in pairs]),
+        }
+
+    head_dim = hidden // heads
+    keys = jax.random.split(key, layers + 2)
+    layer_list = []
+    for li in range(layers):
+        lk = jax.random.split(keys[li], 9)
+        layer_list.append(
+            {
+                "self_attn": {
+                    "q_proj": ql(lk[0], heads * head_dim, hidden),
+                    "k_proj": ql(lk[1], kv_heads * head_dim, hidden),
+                    "v_proj": ql(lk[2], kv_heads * head_dim, hidden),
+                    "o_proj": ql(lk[3], hidden, heads * head_dim),
+                },
+                "block_sparse_moe": {
+                    "gate": {
+                        "weight": (
+                            jax.random.normal(
+                                lk[4], (n_experts, hidden), jnp.bfloat16
+                            )
+                            * 0.02
+                        )
+                    },
+                    "switch_mlp": {
+                        "gate_proj": ql_experts(lk[5], ffn, hidden),
+                        "up_proj": ql_experts(lk[6], ffn, hidden),
+                        "down_proj": ql_experts(lk[7], hidden, ffn),
+                    },
+                },
+                "input_layernorm": {"weight": jnp.ones(hidden, jnp.bfloat16)},
+                "post_attention_layernorm": {
+                    "weight": jnp.ones(hidden, jnp.bfloat16)
+                },
+            }
+        )
+    emb = {
+        "weight": (
+            jax.random.normal(keys[-2], (vocab, hidden), jnp.bfloat16) * 0.02
+        )
+    }
+    params = {
+        "model": {
+            "embed_tokens": emb,
+            "layers": layer_list,
+            "norm": {"weight": jnp.ones(hidden, jnp.bfloat16)},
+        },
+        # Quantized head, as real 4-bit mixtral checkpoints ship it.
+        "lm_head": ql(keys[-1], vocab, hidden),
+    }
+    config = {
+        "model_type": "mixtral",
+        "hidden_size": hidden,
+        "num_hidden_layers": layers,
+        "num_attention_heads": heads,
+        "num_key_value_heads": kv_heads,
+        "intermediate_size": ffn,
+        "vocab_size": vocab,
+        "num_local_experts": n_experts,
+        "num_experts_per_tok": top_k,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 1000000.0,
+        "tie_word_embeddings": False,
+        "quantization": {"group_size": group_size, "bits": bits},
+    }
+    args = mixtral.ModelArgs.from_dict(config)
+    return Model(args=args, params=params, module=mixtral, config=config)
+
+
 def run_rl_coresidency_bench(model, tok, rng):
     """Measure the RL-serving co-residency contract on one chip:
 
@@ -809,6 +949,54 @@ def main() -> int:
         )
         sol_14b = args.batch / (wb14 / HBM_PEAK)
 
+    # --------------------------------------------------------------- MoE
+    # Mixtral-shape decode (VERDICT r4 #7): per-layer shapes exactly 8x7B
+    # (hidden 4096, GQA 32:8, ffn 14336, 8 experts top-2, INT4) at reduced
+    # depth — full depth is ~23 GB packed and exceeds one v5e chip. The
+    # roofline counts the weights decode actually streams: attention + the
+    # ROUTED expert set (at b8 top-2 random routing ~all 8 experts are hit
+    # per layer, so effectively the full expert stack).
+    tps_moe = 0.0
+    sol_moe = 0.0
+    moe_layers = 12
+    if not args.skip_extras:
+        import gc as _gc
+
+        del engine14, model14, flat14
+        _gc.collect()
+        model_moe = build_random_quantized_mixtral(layers=moe_layers)
+        engine_moe = DecodeEngine(
+            model_moe, tok, max_batch_size=args.batch,
+            max_context_length=4096,
+        )
+        prompts_moe = [
+            [int(x) for x in rng.integers(1, 30000, size=128)]
+            for _ in range(args.batch)
+        ]
+        steps_moe = 64
+
+        def run_moe():
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=steps_moe)
+                for _ in range(args.batch)
+            ]
+            for _ in engine_moe.decode_batch(prompts_moe, sp):
+                pass
+            return engine_moe.metrics["last_decode_tps"]
+
+        run_moe()  # warmup at identical shapes
+        tps_moe = run_moe()
+        flat_moe = _P.flatten(model_moe.params)
+        wb_moe = sum(
+            leaf.size * leaf.dtype.itemsize
+            for name, leaf in flat_moe.items()
+            if not name.endswith(("embed_tokens.weight", ".scales", ".biases"))
+            or name.endswith((".sk", ".bk", ".sk3", ".bk3"))
+        )
+        sol_moe = args.batch / (wb_moe / HBM_PEAK)
+        del engine_moe, model_moe, flat_moe, prompts_moe
+        _gc.collect()
+
     value = round(max(decode_tps, big_tps, big_tps_int8, b64_tps_int8), 2)
     extra = {
         "decode_tok_s_batch8": round(decode_tps, 2),
@@ -868,6 +1056,18 @@ def main() -> int:
                 "vs_baseline_14b": round(
                     tps_14b / REFERENCE_BASELINE_TOK_S, 3
                 ),
+            }
+        )
+        extra.update(
+            {
+                # Mixtral-shape MoE decode (per-layer shapes exact, depth
+                # scaled to fit one chip; see the builder docstring).
+                "decode_tok_s_moe_b8": round(tps_moe, 2),
+                "moe_layers": moe_layers,
+                "sol_tok_s_moe_b8": round(sol_moe, 1),
+                "roofline_pct_moe_b8": round(
+                    100 * tps_moe / sol_moe, 1
+                ) if sol_moe else 0.0,
             }
         )
         # RL-serving co-residency (reference contract: swap <10 ms, 50+

@@ -54,6 +54,10 @@ def _expert_matmul(p: Dict[str, Any], e: int, xf: jnp.ndarray, qcfg: QuantCfg):
             bits=bits,
             q_int8=p["q8"][e] if "q8" in p else None,
             q_kernel=p["wk3"][e] if "wk3" in p else None,
+            # Mirrors make the kernel path differentiable (training) and
+            # serve kernel-layout-only trees off-TPU.
+            q_scales_t=p["sk3"][e] if "sk3" in p else None,
+            q_biases_t=p["bk3"][e] if "bk3" in p else None,
         )
     return xf @ p["weight"][e].T.astype(xf.dtype)
 
