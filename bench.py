@@ -46,11 +46,13 @@ def build_random_quantized_llama(
     group_size: int = 64,
     bits: int = 4,
     seed: int = 0,
+    column: bool = False,
 ):
     """Random 7B-class quantized param tree, built on-device.
 
-    Quantized linears carry the unpacked int8 mirror (``q8``) + scales/biases
-    for the XLA grouped matmul path; embeddings stay bf16.
+    ``column=True`` builds the per-COLUMN-scale layout (G == 1 — what
+    ``loader.load(quant_layout="column")`` produces): the fused kernel runs
+    its scale-free body with the scale applied in the XLA epilogue.
     """
     import jax
     import jax.numpy as jnp
@@ -66,10 +68,11 @@ def build_random_quantized_llama(
 
     def ql(key, out_f, in_f):
         k1, k2, k3 = jax.random.split(key, 3)
-        g = in_f // group_size
+        gs_l = in_f if column else group_size
+        g = in_f // gs_l
         # Random weights directly in the tiled fused-kernel packed layout
         # (random values are layout-invariant); throughput is what's measured.
-        nt = quant.choose_n_tile(in_f, out_f, bits)
+        nt = quant.choose_n_tile(in_f, out_f, bits, group_size=gs_l)
         wk = jax.random.bits(
             k1, (out_f // nt, in_f // per_word, nt), jnp.uint32
         )
@@ -350,6 +353,12 @@ def run_serving_bench(
         if loop is not None:
             loop.call_soon_threadsafe(loop.stop)
         th.join(timeout=30)
+        # Release the slot engine's KV slab (app refs) before the next
+        # bench section allocates its own device memory.
+        holder.clear()
+        import gc
+
+        gc.collect()
     return out
 
 def build_random_quantized_mixtral(
@@ -723,6 +732,7 @@ def main() -> int:
         big_tps = 0.0
         big_tps_int8 = 0.0
         b64_tps_int8 = 0.0
+        del engine_big
     else:
         run_big(args.steps)  # warmup at identical shapes (see above)
         big_tps = run_big(args.steps)
@@ -745,7 +755,7 @@ def main() -> int:
 
         run_big8(args.steps)
         big_tps_int8 = run_big8(args.steps)
-        del engine_big8
+        del engine_big8, engine_big
 
         # Batch-scale configuration (VERDICT r4 #1): b64, INT8 KV. SOL
         # doubles over b32 while the KV slab at the hot bucket stays ~1 GB;
@@ -773,6 +783,39 @@ def main() -> int:
         run_b64(args.steps)
         b64_tps_int8 = run_b64(args.steps)
         del engine_64, prompts_64
+
+    # ------------------------------------------- per-column-scale layout
+    # Opt-in quant layout (VERDICT r4 #2): same weights requantized to one
+    # scale per output column — the kernel's measured VPU bottleneck (the
+    # per-group scale map multiply) vanishes from the body. A/B at the
+    # headline b8 config; the accuracy trade is quantified in
+    # tests/test_quant_quality.py::test_column_layout_quality_and_numerics.
+    col_tps = 0.0
+    if not args.skip_extras:
+        import gc as _gc0
+
+        print("bench: column layout", file=sys.stderr, flush=True)
+        model_col = build_random_quantized_llama(
+            layers=args.layers, column=True
+        )
+        engine_col = DecodeEngine(
+            model_col, tok, max_batch_size=args.batch,
+            max_context_length=8192,
+        )
+
+        def run_col(n_steps):
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=n_steps)
+                for _ in range(args.batch)
+            ]
+            for _ in engine_col.decode_batch(prompts, sp):
+                pass
+            return engine_col.metrics["last_decode_tps"]
+
+        run_col(args.steps)
+        col_tps = run_col(args.steps)
+        del engine_col, model_col
+        _gc0.collect()
 
     # ------------------------------------------------------ long-context
     # Flash-decode configuration (VERDICT r2 #2): b8, prompt 2048, INT8 KV.
@@ -874,16 +917,22 @@ def main() -> int:
     sol_b32 = big_batch / floor_s
 
     # ------------------------------------------------------- HTTP level
+    import gc as _gc1
+
     serving = {"http_tok_s": 0.0, "ttft_p50_s": 0.0, "ttft_p95_s": 0.0}
     serving16 = {"http_tok_s": 0.0, "ttft_p50_s": 0.0, "ttft_p95_s": 0.0}
     if not args.skip_serving and not args.skip_extras:
+        print("bench: serving c8", file=sys.stderr, flush=True)
         # Round-comparable workload (8-way client concurrency)...
         serving = run_serving_bench(model)
+        _gc1.collect()
+        print("bench: serving c16", file=sys.stderr, flush=True)
         # ...and the throughput-tuned deployment shape: 16-way concurrency
         # over the (default) 2x-oversubscribed INT8-KV slot pool.
         serving16 = run_serving_bench(
             model, port=18301, n_requests=32, concurrency=16
         )
+        _gc1.collect()
 
     # -------------------------------------------- RL-serving co-residency
     # The reference's headline RL contract (RL_TRAINER.md:762-765):
@@ -891,6 +940,9 @@ def main() -> int:
     # training. Measured here on the real GRPO trainer sharing the chip.
     rl_cores = {}
     if not args.skip_extras:
+        print("bench: rl co-residency", file=sys.stderr, flush=True)
+        del engine
+        _gc1.collect()
         try:
             rl_cores = run_rl_coresidency_bench(model, tok, rng)
         except Exception as e:  # pragma: no cover - perf harness resilience
@@ -906,7 +958,8 @@ def main() -> int:
     if not args.skip_extras:
         import gc
 
-        del engine, engine_big, model, flat_params
+        print("bench: 14B", file=sys.stderr, flush=True)
+        del model, flat_params
         gc.collect()
         model14 = build_random_quantized_llama(
             hidden=5120, layers=48, heads=40, kv_heads=8, ffn=13824,
@@ -962,6 +1015,7 @@ def main() -> int:
     if not args.skip_extras:
         import gc as _gc
 
+        print("bench: moe", file=sys.stderr, flush=True)
         del engine14, model14, flat14
         _gc.collect()
         model_moe = build_random_quantized_mixtral(layers=moe_layers)
@@ -1003,6 +1057,10 @@ def main() -> int:
         "decode_tok_s_batch32": round(big_tps, 2),
         "decode_tok_s_batch32_int8kv": round(big_tps_int8, 2),
         "decode_tok_s_batch64_int8kv": round(b64_tps_int8, 2),
+        "decode_tok_s_b8_column": round(col_tps, 2),
+        "roofline_pct_b8_column": round(100 * col_tps / sol_b8, 1)
+        if col_tps
+        else 0.0,
         "sol_tok_s_b64": round(2 * sol_b32, 1),
         "roofline_pct_b64": round(
             100 * b64_tps_int8 / (2 * sol_b32), 1

@@ -141,11 +141,24 @@ def load_model(
     mirror_int8: bool = True,
     shardings: Optional[Dict[str, Any]] = None,
     n_shards: int = 1,
+    quant_layout: Optional[str] = None,
 ) -> Model:
     """``n_shards`` is the intended tensor-parallel degree: the tiled
     fused-kernel layout is chosen so its tile axis divides evenly across
     ``tp`` shards (otherwise ``shard_params`` would have to replicate the
-    largest weights on every chip)."""
+    largest weights on every chip).
+
+    ``quant_layout="column"`` (or env ``MLX_PARALLM_QUANT_LAYOUT=column``)
+    REQUANTIZES every 2D linear to per-COLUMN scales at load time (G = 1,
+    group = the whole input dim): the fused kernel then runs scale-free at
+    its measured no-scale ceiling (~680 vs ~500 GB/s, probe_qmm_decompose)
+    with the one scale per output column folded into the XLA epilogue.
+    This is an accuracy/speed trade — per-column INT4 is coarser than the
+    wire format's group-64 (delta quantified in tests/test_quant_quality)
+    — and is therefore opt-in; the default keeps MLX checkpoint parity.
+    Embeddings and MoE expert stacks keep the wire format."""
+    if quant_layout is None:
+        quant_layout = os.environ.get("MLX_PARALLM_QUANT_LAYOUT")
     config = load_config(model_path)
     model_type = config.get("model_type", "llama")
     module = model_registry.get_model_module(model_type)
@@ -182,6 +195,27 @@ def load_model(
                     continue
                 base = name[: -len(".weight")]
                 arr = flat[name]
+                gs_l = gs
+                if (
+                    quant_layout == "column"
+                    and arr.ndim == 2
+                    and not is_embedding
+                ):
+                    # Requantize to per-column scales (see docstring). The
+                    # fp32 reconstruction is transient, one linear at a
+                    # time.
+                    k_l = arr.shape[1] * (32 // bits)
+                    w_full = quant.dequantize(
+                        arr, flat[base + ".scales"],
+                        flat[base + ".biases"], gs, bits,
+                        dtype=jnp.float32,
+                    )
+                    arr, s_c, b_c = quant.quantize(w_full, k_l, bits)
+                    del w_full
+                    flat[name] = arr
+                    flat[base + ".scales"] = s_c
+                    flat[base + ".biases"] = b_c
+                    gs_l = k_l
                 built = False
                 if on_tpu and arr.ndim == 2:
                     from .. import ops as _ops  # noqa: F401
@@ -193,7 +227,7 @@ def load_model(
                     # plan_n_tile may PAD vocab-sized heads up to a large
                     # tile (nt=256 blocks stream at a fraction of peak).
                     nt, n_pad = quant.plan_n_tile(
-                        k, n, bits, n_shards=n_shards, group_size=gs
+                        k, n, bits, n_shards=n_shards, group_size=gs_l
                     )
                     if nt is not None:
                         pk, ps, pb = quant.pad_quantized_rows(
@@ -203,9 +237,9 @@ def load_model(
                             n_pad,
                         )
                         wk = quant.tile_kernel(
-                            quant.kernel_pack(pk, gs, bits), nt
+                            quant.kernel_pack(pk, gs_l, bits), nt
                         )
-                        if qmm_pallas.supported(probe, wk, ps, gs, bits):
+                        if qmm_pallas.supported(probe, wk, ps, gs_l, bits):
                             flat[base + ".wk"] = wk
                             if n_pad != n:
                                 # Mirrors must match the padded width; the
@@ -353,12 +387,14 @@ def load(
     dtype=jnp.bfloat16,
     mirror_int8: bool = True,
     n_shards: int = 1,
+    quant_layout: Optional[str] = None,
 ) -> Tuple[Model, TokenizerWrapper]:
     """Load model + tokenizer, optionally applying a LoRA adapter
     (parity: reference utils.py:711-747)."""
     model_path = get_model_path(path_or_repo)
     model = load_model(
-        model_path, dtype=dtype, mirror_int8=mirror_int8, n_shards=n_shards
+        model_path, dtype=dtype, mirror_int8=mirror_int8, n_shards=n_shards,
+        quant_layout=quant_layout,
     )
     tokenizer = load_tokenizer(str(model_path))
     if adapter_path:

@@ -36,6 +36,13 @@ def linear(p: Dict[str, Any], x: jnp.ndarray, qcfg: QuantCfg = None) -> jnp.ndar
     """Apply a (possibly quantized, possibly LoRA-augmented) linear layer."""
     if is_quantized_layer(p):
         gs, bits = qcfg if qcfg else (quant.DEFAULT_GROUP_SIZE, quant.DEFAULT_BITS)
+        # Per-layer group size from the scales' width: the per-column
+        # repack (loader ``quant_layout="column"``) stores G == 1 scales
+        # (group == the whole input dim) while the model config still says
+        # the wire-format group size.
+        g = p["scales"].shape[-1]
+        if g * gs != x.shape[-1] and x.shape[-1] % g == 0:
+            gs = x.shape[-1] // g
         y = qmm.qmm(
             x,
             p.get("weight"),

@@ -109,31 +109,35 @@ def supported(x, packed_kernel, scales, group_size, bits) -> bool:
     return _kw_tile(kw, g, M_TILE, nt, bits) > 0
 
 
-def _kernel4(xe_ref, xo_ref, w_ref, s_ref, out_ref, *, reps):
+def _kernel4(xe_ref, xo_ref, w_ref, s_ref, out_ref, *, reps, column):
     """INT4 tile: two bitcast nibble-plane matmuls.
 
     Grid is (M, N-tiles, K) with K innermost; the output block is revisited
     across K steps and accumulated in place. The affine bias term
     (x_group_sums @ biases_t) is a tiny rank-G matmul applied by XLA
     OUTSIDE the kernel — a third in-kernel dot per block costs a full MXU
-    pipeline slot (measured: removing it is worth ~5% at decode shapes)."""
+    pipeline slot (measured: removing it is worth ~5% at decode shapes).
+
+    ``column=True`` (per-column-scale layout, G == 1): the per-value scale
+    multiply — the kernel's measured VPU bottleneck, ~1.5 ops/value of a
+    ~2.9-op body (probe_qmm_decompose: prod 486-515 GB/s vs noscale
+    627-709) — is SKIPPED entirely; the single per-column scale folds into
+    the XLA epilogue on the f32 accumulator."""
     kt = pl.program_id(2)
     w = w_ref[0]
     even = pltpu.bitcast(w & jnp.uint32(_NIBBLE_MASK), jnp.int8)
     odd = pltpu.bitcast(
         (w >> jnp.uint32(4)) & jnp.uint32(_NIBBLE_MASK), jnp.int8
     )
-    s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (rows_t, NT) bf16
-    acc = jnp.dot(
-        xe_ref[:],
-        even.astype(jnp.bfloat16) * s_map,
-        preferred_element_type=jnp.float32,
-    )
-    acc += jnp.dot(
-        xo_ref[:],
-        odd.astype(jnp.bfloat16) * s_map,
-        preferred_element_type=jnp.float32,
-    )
+    if column:
+        we = even.astype(jnp.bfloat16)
+        wo = odd.astype(jnp.bfloat16)
+    else:
+        s_map = pltpu.repeat(s_ref[:], reps, axis=0)  # (rows_t, NT) bf16
+        we = even.astype(jnp.bfloat16) * s_map
+        wo = odd.astype(jnp.bfloat16) * s_map
+    acc = jnp.dot(xe_ref[:], we, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], wo, preferred_element_type=jnp.float32)
 
     @pl.when(kt == 0)
     def _():
@@ -144,18 +148,18 @@ def _kernel4(xe_ref, xo_ref, w_ref, s_ref, out_ref, *, reps):
         out_ref[:] = out_ref[:] + acc
 
 
-def _kernel8(xp_ref, w_ref, s_ref, out_ref, *, reps):
+def _kernel8(xp_ref, w_ref, s_ref, out_ref, *, reps, column):
     """INT8 tile: one bitcast byte-plane matmul (bias term applied by XLA
-    outside, as in _kernel4)."""
+    outside, as in _kernel4; ``column`` as in _kernel4)."""
     kt = pl.program_id(2)
     w = w_ref[0]
     vals = pltpu.bitcast(w, jnp.int8)  # (rows_t, NT), stored -128-biased
-    s_map = pltpu.repeat(s_ref[:], reps, axis=0)
-    acc = jnp.dot(
-        xp_ref[:],
-        vals.astype(jnp.bfloat16) * s_map,
-        preferred_element_type=jnp.float32,
-    )
+    if column:
+        wv = vals.astype(jnp.bfloat16)
+    else:
+        s_map = pltpu.repeat(s_ref[:], reps, axis=0)
+        wv = vals.astype(jnp.bfloat16) * s_map
+    acc = jnp.dot(xp_ref[:], wv, preferred_element_type=jnp.float32)
 
     @pl.when(kt == 0)
     def _():
@@ -207,6 +211,11 @@ def qmm_pallas(
     n_kt = kw // kw_tile
     rows_t = 4 * kw_tile  # plane rows per K tile (both bit widths)
 
+    # Per-column-scale layout (G == 1): the kernel runs scale-free at its
+    # no-scale ceiling and the one scale per output column is applied to
+    # the f32 accumulator below (fuses with the bias epilogue).
+    column = g == 1
+
     if scales_t is None:
         scales_t = scales.T.astype(jnp.bfloat16)  # (G, N)
     if bits == 8:
@@ -220,7 +229,7 @@ def qmm_pallas(
         xp = (
             xf.reshape(m_pad, g, group_size).transpose(0, 2, 1).reshape(m_pad, k)
         )
-        kernel = functools.partial(_kernel8, reps=rows_t // g)
+        kernel = functools.partial(_kernel8, reps=rows_t // g, column=column)
         x_inputs = [xp]
         x_specs = [
             pl.BlockSpec(
@@ -233,7 +242,7 @@ def qmm_pallas(
         # x_{even,odd}[b, q*G + r] = x[b, r*gs + 2q + p]
         x4 = xf.reshape(m_pad, g, group_size // 2, 2)  # [b, r, q, p]
         xp = x4.transpose(3, 0, 2, 1).reshape(2, m_pad, k // 2)
-        kernel = functools.partial(_kernel4, reps=rows_t // g)
+        kernel = functools.partial(_kernel4, reps=rows_t // g, column=column)
         x_inputs = [xp[0], xp[1]]
         x_specs = [
             pl.BlockSpec(
@@ -282,7 +291,10 @@ def qmm_pallas(
         ),
     )(*x_inputs, packed_kernel, scales_t)
 
-    # Affine bias epilogue (rank-G): XLA fuses this tiny matmul-add; doing
-    # it in-kernel cost an MXU pipeline slot per (mt, nt) block.
+    # Affine epilogue (rank-G): XLA fuses this tiny matmul-add; doing it
+    # in-kernel cost an MXU pipeline slot per (mt, nt) block. In column
+    # mode the deferred per-column scale joins it.
+    if column:
+        out = out * scales_t.astype(jnp.float32)
     out = out + xg @ biases_t.astype(jnp.float32)
     return out[:m].reshape(*lead, n).astype(x.dtype)

@@ -89,6 +89,27 @@ def qmm_checks():
         )
         check(f"qmm int{bits} m={m} {k}x{n}", got, ref, 2e-2)
 
+    # Per-column-scale layout (G == 1): the scale-free kernel body + XLA
+    # epilogue scale must match the explicit dequant matmul.
+    for m, k, n, bits in ((16, 4096, 4096, 4), (16, 4096, 4096, 8)):
+        w = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32) * 0.05)
+        packed, scales, biases = quant.quantize(w, k, bits)
+        nt = quant.choose_n_tile(k, n, bits, group_size=k)
+        wk = quant.tile_kernel(quant.kernel_pack(packed, k, bits), nt)
+        sk, bk = quant.kernel_scale_mirrors(scales, biases, bits)
+        x = jnp.asarray(
+            rng.normal(size=(m, k)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ref = qmm.qmm(
+            x, packed, scales, biases, group_size=k, bits=bits,
+            impl="dequant",
+        )
+        got = qmm.qmm(
+            x, packed, scales, biases, group_size=k, bits=bits,
+            q_kernel=wk, q_scales_t=sk, q_biases_t=bk, impl="pallas",
+        )
+        check(f"qmm-column int{bits} m={m} {k}x{n}", got, ref, 2e-2)
+
 
 def flash_checks():
     rng = np.random.default_rng(1)
