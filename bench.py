@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -166,6 +167,9 @@ def run_serving_bench(
     concurrency: int = 8,
     prompt_tokens: int = 128,
     max_tokens: int = 128,
+    tokenizer=None,
+    model_name: str = "bench-7b",
+    prompt_text: str = None,
 ):
     """HTTP-level serving benchmark (VERDICT r3 #7): drives the REAL aiohttp
     server + continuous slot scheduler in-process over the bench model, with
@@ -211,9 +215,9 @@ def run_serving_bench(
 
             return IncrementalDetokenizer(self)
 
-    tok = _ServingTokenizer()
+    tok = tokenizer if tokenizer is not None else _ServingTokenizer()
     args = SM.ServerArgs(
-        model_path="bench-7b",
+        model_path=model_name,
         port=port,
         scheduler="continuous",
         max_batch_size=concurrency,
@@ -268,8 +272,11 @@ def run_serving_bench(
 
         async def one(sess, sem, i, ttfts):
             payload = {
-                "model": "bench-7b",
-                "prompt": f"serving bench request {i}",
+                "model": model_name,
+                "prompt": (
+                    prompt_text if prompt_text is not None
+                    else f"serving bench request {i}"
+                ),
                 "max_tokens": max_tokens,
                 "temperature": 0.0,
                 "stream": True,
@@ -348,7 +355,7 @@ def run_serving_bench(
         print(f"serving bench failed: {e}", file=sys.stderr)
     finally:
         SM.loader.load = orig_load
-        SS.model_registry.pop("bench-7b", None)
+        SS.model_registry.pop(model_name, None)
         loop = holder.get("loop")
         if loop is not None:
             loop.call_soon_threadsafe(loop.stop)
@@ -626,6 +633,100 @@ def run_rl_coresidency_bench(model, tok, rng):
     out["decode_tok_s_during_grpo"] = round(tps, 2)
     out["grpo_steps_during_decode"] = steps_done[0]
     del engine
+    return out
+
+
+def run_real_ckpt_bench(
+    port: int = 18303,
+    *,
+    hidden: int = 1024,
+    layers: int = 8,
+    max_tokens: int = 64,
+):
+    """One end-to-end TPU serving run over a REAL HF-format checkpoint
+    (VERDICT r4 #8): ``transformers``' ``save_pretrained`` layout ->
+    ``tools/convert`` INT4 -> ``loader.load`` (real safetensors + real BPE
+    tokenizer) -> aiohttp server -> streamed completions. Unlike the
+    controlled synthetic run above, this pays real tokenization, chat
+    detokenization, and the full load path — proving the serving stack
+    end-to-end rather than just the scheduler.
+
+    The model is a reduced-depth llama (the full 7B torch init would
+    dominate bench wall time); the number is a capability proof, not a
+    roofline point. Returns {} if torch/transformers are unavailable."""
+    import shutil
+    import tempfile
+
+    try:
+        from transformers import AutoTokenizer, LlamaConfig, LlamaForCausalLM
+    except Exception as e:  # pragma: no cover - env guard
+        print(f"real-ckpt bench skipped: {e}", file=sys.stderr)
+        return {}
+    from pathlib import Path
+
+    from mlx_parallm_tpu.core import loader
+    from mlx_parallm_tpu.tools.convert import convert
+    from mlx_parallm_tpu.tools.tiny_model import build_tokenizer
+
+    tmp = tempfile.mkdtemp(prefix="bench_real_ckpt_")
+    out = {}
+    try:
+        hf_dir = os.path.join(tmp, "hf")
+        q_dir = os.path.join(tmp, "q4")
+        os.makedirs(hf_dir)
+        # Real trained BPE tokenizer first; the model's vocab must cover
+        # every id it can emit so greedy decode always detokenizes.
+        build_tokenizer(Path(hf_dir), vocab_size=2048)
+        tok_fast = AutoTokenizer.from_pretrained(hf_dir)
+        vocab = len(tok_fast)
+        cfg = LlamaConfig(
+            hidden_size=hidden,
+            intermediate_size=int(2.75 * hidden),
+            num_hidden_layers=layers,
+            num_attention_heads=max(1, hidden // 64),
+            num_key_value_heads=max(1, hidden // 128),
+            vocab_size=vocab,
+            max_position_embeddings=4096,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+        )
+        import torch
+
+        torch.manual_seed(0)
+        m = LlamaForCausalLM(cfg).eval()
+        m.save_pretrained(hf_dir)
+        del m
+        convert(
+            hf_path=hf_dir, tpu_path=q_dir, quantize=True,
+            q_group_size=64, q_bits=4,
+        )
+        model, tok = loader.load(q_dir)
+        prompt = (
+            "The quick brown fox jumps over the lazy dog while the "
+            "server streams tokens back to every client in the batch. "
+        ) * 4
+        res = run_serving_bench(
+            model,
+            tokenizer=tok,
+            model_name="bench-real-ckpt",
+            prompt_text=prompt,
+            n_requests=8,
+            concurrency=4,
+            max_tokens=max_tokens,
+            port=port,
+        )
+        if res.get("http_tok_s"):
+            out["real_ckpt_http_tok_s"] = res["http_tok_s"]
+            out["real_ckpt_ttft_p50_s"] = res["ttft_p50_s"]
+        del model
+    except Exception as e:  # pragma: no cover - perf harness resilience
+        print(f"real-ckpt bench failed: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        import gc
+
+        gc.collect()
     return out
 
 
@@ -934,6 +1035,14 @@ def main() -> int:
         )
         _gc1.collect()
 
+    real_ckpt = {}
+    if not args.skip_serving and not args.skip_extras:
+        print("bench: real-checkpoint serving", file=sys.stderr, flush=True)
+        real_ckpt = run_real_ckpt_bench()
+        import gc as _gc2
+
+        _gc2.collect()
+
     # -------------------------------------------- RL-serving co-residency
     # The reference's headline RL contract (RL_TRAINER.md:762-765):
     # in-process adapter hot-swap <10 ms and 50+ tok/s serving DURING
@@ -1131,6 +1240,9 @@ def main() -> int:
         # RL-serving co-residency (reference contract: swap <10 ms, 50+
         # tok/s during training — RL_TRAINER.md:762-765).
         extra.update(rl_cores)
+        # Real-checkpoint end-to-end serving (save_pretrained -> convert
+        # -> loader.load -> HTTP, real BPE tokenizer).
+        extra.update(real_ckpt)
     print(
         json.dumps(
             {

@@ -553,7 +553,7 @@ class DecodeEngine:
                 default=1,
             )
             s_hot = hot_bucket(max_known + 2 * chunk + 1, capacity)
-            return self._decode_chunk(
+            out = self._decode_chunk(
                 self.model.params,
                 cache,
                 tok_dev,
@@ -573,6 +573,13 @@ class DecodeEngine:
                 sampler_mode,
                 s_hot,
             )
+            # Enqueue the chunk-output D2H copy with the dispatch so the
+            # later pull never queues behind subsequent device work.
+            try:
+                out[0].copy_to_host_async()
+            except AttributeError:
+                pass
+            return out
 
         # Dispatch the first decode chunk BEFORE pulling the first token:
         # the device decodes while the host processes/yields it. Skipped
@@ -581,6 +588,15 @@ class DecodeEngine:
         # TTFT A/B: the tunnel serves a device_get only after the queued
         # work ahead of it.)
         late_first = os.environ.get("MLX_PARALLM_LATE_FIRST_CHUNK") == "1"
+        # Start the first-token D2H copy BEFORE dispatching the decode
+        # chunk: the tiny (2, b) transfer then completes the moment the
+        # prefill program retires instead of queueing behind the chunk's
+        # dispatch on the transfer stream — the device_get below finds the
+        # bytes already on the host (TTFT engine-tail shave, VERDICT r4 #9).
+        try:
+            fused_first.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests stub the program)
+            pass
         pending = None
         if not late_first and any(p.max_tokens > 1 for p in seq_params):
             pending = dispatch(

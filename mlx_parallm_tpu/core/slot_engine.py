@@ -853,6 +853,14 @@ class SlotEngine:
                 self.metrics["admit_queue_wait_total"] += (
                     now - req.submit_time
                 )
+        # Start the first-token D2H copy now: the tiny transfer completes
+        # the moment prefill_commit retires instead of queueing behind the
+        # next decode chunk's dispatch, so _admit_finish finds the bytes
+        # already host-side (same TTFT engine-tail shave as DecodeEngine).
+        try:
+            first.copy_to_host_async()
+        except AttributeError:
+            pass
         return {"first": first, "admissions": admissions, "t_dispatch": now}
 
     def _admit_finish(self, handle: dict) -> None:
@@ -943,6 +951,13 @@ class SlotEngine:
             sampler_mode,
             s_hot,
         )
+        # Enqueue the token D2H copy with the dispatch: the drain (which
+        # runs after the NEXT chunk/admission is dispatched) then finds the
+        # bytes host-side instead of queueing the pull behind that work.
+        try:
+            toks.copy_to_host_async()
+        except AttributeError:
+            pass
         return toks, t0
 
     def _drain_chunk(self, chunk_handle, eos_ids) -> None:

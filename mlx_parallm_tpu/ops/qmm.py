@@ -90,18 +90,63 @@ def _qmm_pallas_ad_fwd(meta, x, q_kernel, scales_t, biases_t, scales, biases):
 
 
 def _qmm_pallas_ad_bwd(meta, res, dy):
+    """dx = dy @ W, dequantizing ONE (NT, K) weight tile per scan step.
+
+    A monolithic ``dequant_from_kernel`` materializes an s32 (N, K) plane
+    array — 224 MB for a 14336x4096 linear — and a 32-layer training
+    backward keeps several alive at once (measured OOM in the round-5
+    RL co-residency bench). Scanning over the kernel's N-tiles bounds the
+    dequant temps to one tile (~16 MB) regardless of depth."""
     import numpy as np
 
     group_size, bits = meta
     q_kernel, scales_t, biases_t, scales, biases = res
-    w = quant.dequant_from_kernel(
-        q_kernel, scales_t, biases_t,
-        group_size=group_size, bits=bits, dtype=dy.dtype,
-    )  # (N_pad, K) — dy carries the kernel's padded N
-    dx = jax.lax.dot_general(
-        dy, w, (((dy.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dy.dtype)
+    t_tiles, kw, nt = q_kernel.shape
+    per_word = 32 // bits
+    k = kw * per_word
+    g = k // group_size
+    lead = dy.shape[:-1]
+    n_pad = dy.shape[-1]
+    assert n_pad == t_tiles * nt, (dy.shape, q_kernel.shape)
+    dy2 = dy.reshape(-1, n_pad)
+    m = dy2.shape[0]
+    # (T, NT, M) / (T, NT, G): per-tile cotangent columns and quant params.
+    dy3 = dy2.T.reshape(t_tiles, nt, m)
+    sc3 = scales_t.T.reshape(t_tiles, nt, g)
+    bi3 = biases_t.T.reshape(t_tiles, nt, g)
+    inv = jnp.asarray(
+        np.argsort(
+            np.asarray(
+                quant.kernel_layout_indices(k, group_size, bits)
+            ).reshape(-1)
+        )
+    )
+
+    def body(acc, inp):
+        wtile, s, bcol, dyt = inp
+        vals = quant.unpack(wtile.T, bits, dtype=jnp.uint32)  # (NT, K)
+        if bits == 8:
+            vals = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.uint8), jnp.int8
+            ).astype(jnp.int32)
+        else:
+            vals = vals.astype(jnp.int32)
+        q = vals[:, inv]  # original element order
+        w = (
+            q.reshape(nt, g, group_size).astype(jnp.float32)
+            * s.astype(jnp.float32)[..., None]
+            + bcol.astype(jnp.float32)[..., None]
+        ).reshape(nt, k)
+        # (M, NT) @ (NT, K) accumulated in f32.
+        acc = acc + jax.lax.dot_general(
+            dyt, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((m, k), dtype=jnp.float32)
+    dx2, _ = jax.lax.scan(body, acc0, (q_kernel, sc3, bi3, dy3))
+    dx = dx2.astype(dy.dtype).reshape(*lead, k)
     return (
         dx,
         np.zeros(q_kernel.shape, jax.dtypes.float0),
