@@ -304,9 +304,12 @@ def run_serving_bench(
                 )
                 ttfts.append(first)
 
-        async def completion_tokens(sess):
+        async def metrics(sess):
             async with sess.get(f"{base}/debug/metrics") as r:
-                m = await r.json()
+                return await r.json()
+
+        async def completion_tokens(sess):
+            m = await metrics(sess)
             out["_metrics"] = m
             # The continuous scheduler reports slot-engine decode tokens.
             return int(
@@ -319,13 +322,29 @@ def run_serving_bench(
             sem = asyncio.Semaphore(concurrency)
             timeout = aiohttp.ClientTimeout(total=1800)
             async with aiohttp.ClientSession(timeout=timeout) as sess:
-                tok0 = await completion_tokens(sess)
+                m0 = await metrics(sess)
+                tok0 = int(
+                    m0.get("decode_tokens_total")
+                    or m0.get("completion_tokens_total", 0)
+                )
                 t0 = time.perf_counter()
                 await asyncio.gather(
                     *(one(sess, sem, i, ttfts) for i in range(n))
                 )
                 wall = time.perf_counter() - t0
                 n_tok = await completion_tokens(sess) - tok0
+                # Measured-phase deltas (warmup compiles would otherwise
+                # dominate the queue-wait/prefill-wall averages).
+                m1 = out.get("_metrics", {})
+                out["_delta"] = {
+                    k: m1.get(k, 0) - m0.get(k, 0)
+                    for k in (
+                        "admit_queue_wait_total",
+                        "admit_prefill_wall_total",
+                        "admitted_total",
+                        "admission_prefills_total",
+                    )
+                }
             return ttfts, n_tok, wall
 
         async def client():
@@ -341,16 +360,20 @@ def run_serving_bench(
                 ttfts[min(len(ttfts) - 1, int(0.95 * len(ttfts)))], 4
             )
         out["http_tok_s"] = round(n_tok / wall, 2)
-        m = out.pop("_metrics", {})
-        if m.get("admitted_total"):
+        out.pop("_metrics", None)
+        d = out.pop("_delta", {})
+        if d.get("admitted_total"):
             out["admit_queue_wait_avg_s"] = round(
-                m["admit_queue_wait_total"] / m["admitted_total"], 4
+                d["admit_queue_wait_total"] / d["admitted_total"], 4
             )
             out["admit_prefill_wall_avg_s"] = round(
-                m["admit_prefill_wall_total"]
-                / max(m.get("admission_prefills_total", 1), 1),
+                d["admit_prefill_wall_total"]
+                / max(d.get("admission_prefills_total", 1), 1),
                 4,
-            ) if "admission_prefills_total" in m else 0.0
+            )
+            out["admission_prefills"] = int(
+                d.get("admission_prefills_total", 0)
+            )
     except Exception as e:  # pragma: no cover - perf harness resilience
         print(f"serving bench failed: {e}", file=sys.stderr)
     finally:
@@ -1063,6 +1086,7 @@ def main() -> int:
     # fits one v5e chip alongside its KV slab. The 7B engines are freed
     # first so both models never coexist in HBM.
     tps_14b = 0.0
+    tps_14b_col = 0.0
     sol_14b = 0.0
     if not args.skip_extras:
         import gc
@@ -1111,6 +1135,35 @@ def main() -> int:
         )
         sol_14b = args.batch / (wb14 / HBM_PEAK)
 
+        # Per-column-scale A/B at the 14B shape (VERDICT r4 #5): the
+        # scale-free kernel body measured +46% at 7B b8; record the same
+        # trade on the BASELINE headline model class.
+        print("bench: 14B column", file=sys.stderr, flush=True)
+        del engine14, model14, flat14
+        gc.collect()
+        model14c = build_random_quantized_llama(
+            hidden=5120, layers=48, heads=40, kv_heads=8, ffn=13824,
+            vocab=32000, column=True,
+        )
+        engine14c = DecodeEngine(
+            model14c, tok, max_batch_size=args.batch,
+            max_context_length=4096,
+        )
+
+        def run_14c():
+            sp = [
+                SamplingParams(temperature=0.0, max_tokens=steps14)
+                for _ in range(args.batch)
+            ]
+            for _ in engine14c.decode_batch(prompts14, sp):
+                pass
+            return engine14c.metrics["last_decode_tps"]
+
+        run_14c()
+        tps_14b_col = run_14c()
+        del engine14c, model14c
+        gc.collect()
+
     # --------------------------------------------------------------- MoE
     # Mixtral-shape decode (VERDICT r4 #7): per-layer shapes exactly 8x7B
     # (hidden 4096, GQA 32:8, ffn 14336, 8 experts top-2, INT4) at reduced
@@ -1125,7 +1178,6 @@ def main() -> int:
         import gc as _gc
 
         print("bench: moe", file=sys.stderr, flush=True)
-        del engine14, model14, flat14
         _gc.collect()
         model_moe = build_random_quantized_mixtral(layers=moe_layers)
         engine_moe = DecodeEngine(
@@ -1223,6 +1275,10 @@ def main() -> int:
                 "vs_baseline_14b": round(
                     tps_14b / REFERENCE_BASELINE_TOK_S, 3
                 ),
+                "decode_tok_s_14b_b8_column": round(tps_14b_col, 2),
+                "roofline_pct_14b_b8_column": round(
+                    100 * tps_14b_col / sol_14b, 1
+                ) if sol_14b else 0.0,
             }
         )
         extra.update(

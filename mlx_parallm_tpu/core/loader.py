@@ -352,9 +352,19 @@ def _fuse_layer_projections(
         if any(p is None or "wk" not in p for p in parts):
             return
         # wk's are tiled (T, Kw, NT): untile, concatenate along N, retile for
-        # the fused width.
+        # the fused width. A part whose kernel was PADDED (plan_n_tile) is
+        # sliced back to its true width first — fusing the padded halves
+        # against the unpadded scale planes would misalign the epilogue
+        # (measured: 704-wide ffn halves padded to 768 crashed prefill with
+        # a (…,1536)+(…,1408) add). If the unpadded fused width is not
+        # tileable, fusion is skipped and the per-projection padded path —
+        # which slices per-linear — handles it correctly.
         wk2 = jnp.concatenate(
-            [quant.untile_kernel(p["wk"]) for p in parts], axis=1
+            [
+                quant.untile_kernel(p["wk"])[:, : p["scales"].shape[0]]
+                for p in parts
+            ],
+            axis=1,
         )  # (Kw, N_total)
         scales = jnp.concatenate([p["scales"] for p in parts], axis=0)
         biases = jnp.concatenate([p["biases"] for p in parts], axis=0)

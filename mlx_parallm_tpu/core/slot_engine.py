@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling
-from .engine import SamplingParams, _bucket_len
+from .engine import SamplingParams, _bucket_len, _host_copy_async
 from .loader import Model
 
 logger = logging.getLogger(__name__)
@@ -538,6 +538,46 @@ class SlotEngine:
                 if not done.wait(timeout=900.0):
                     logger.warning("warmup batch timed out (plen=%d)", plen)
                     break
+
+        # KV hot-window bucket sweep: a live generation GROWS past the
+        # short bursts above — each s_hot bucket (geometric, cache.py
+        # hot_bucket) is a distinct decode_chunk jit signature, and an
+        # uncompiled bucket stalls every stream for the compile the first
+        # time traffic crosses it (measured: the round-5 serving bench
+        # bimodally collapsed 625 -> 160 tok/s when the 512 bucket missed
+        # the persistent cache). Admit one request per (bucket, sampler
+        # mode) whose prompt length lands its first decode chunk exactly
+        # in that bucket.
+        s = _hot_bucket(
+            max(prompt_lens, default=128) + gen + 2 * self.chunk + 1,
+            self.capacity,
+        )
+        while s < self.capacity:
+            s *= 2
+            plen_b = max(2, s - 2 * self.chunk - 2 - gen)
+            for sp in (
+                SamplingParams(max_tokens=gen, temperature=0.0),
+                SamplingParams(max_tokens=gen, temperature=0.7, top_p=1.0),
+                SamplingParams(max_tokens=gen, temperature=0.7, top_p=0.9),
+            ):
+                done = threading.Event()
+
+                def bucket_cb(tid, finish, _done=done):
+                    if finish:
+                        _done.set()
+                    return True
+
+                self.submit(
+                    SlotRequest(
+                        prompt_tokens=[1] * plen_b, params=sp,
+                        on_token=bucket_cb,
+                    )
+                )
+                if not done.wait(timeout=900.0):
+                    logger.warning(
+                        "warmup bucket sweep timed out (s_hot=%d)", s
+                    )
+                    break
         dt = time.perf_counter() - t0
         logger.info("SlotEngine warmup done in %.1f s", dt)
         return dt
@@ -857,10 +897,7 @@ class SlotEngine:
         # the moment prefill_commit retires instead of queueing behind the
         # next decode chunk's dispatch, so _admit_finish finds the bytes
         # already host-side (same TTFT engine-tail shave as DecodeEngine).
-        try:
-            first.copy_to_host_async()
-        except AttributeError:
-            pass
+        _host_copy_async(first)
         return {"first": first, "admissions": admissions, "t_dispatch": now}
 
     def _admit_finish(self, handle: dict) -> None:
@@ -954,10 +991,7 @@ class SlotEngine:
         # Enqueue the token D2H copy with the dispatch: the drain (which
         # runs after the NEXT chunk/admission is dispatched) then finds the
         # bytes host-side instead of queueing the pull behind that work.
-        try:
-            toks.copy_to_host_async()
-        except AttributeError:
-            pass
+        _host_copy_async(toks)
         return toks, t0
 
     def _drain_chunk(self, chunk_handle, eos_ids) -> None:
