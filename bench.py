@@ -607,21 +607,23 @@ def run_rl_coresidency_bench(model, tok, rng):
     # In-process hot-swap: bf16-cast + device commit of the updated
     # adapter tree, then the functional swap (exactly trainer.step's
     # publish path, measured to completion).
-    adapter, _ = split_adapter_params(model.params)
-    t0 = time.perf_counter()
-    new_adapter = {
-        k: jnp.asarray(v, jnp.bfloat16) if v.dtype == jnp.float32 else v
-        for k, v in trainer._adapter.items()
-    }
+    from mlx_parallm_tpu.rl_training.grpo_trainer import (
+        publish_adapter_bf16,
+    )
+    from mlx_parallm_tpu.rl_training.param_utils import (
+        merge_adapter_params,
+    )
+
     import jax as _jax
 
+    adapter, frozen = split_adapter_params(model.params)
+    # trainer.step already compiled+ran the publish cast; measure the
+    # steady-state swap exactly as each step pays it.
+    _jax.block_until_ready(publish_adapter_bf16(trainer._adapter))
+    t0 = time.perf_counter()
+    new_adapter = publish_adapter_bf16(trainer._adapter)
     _jax.block_until_ready(new_adapter)
-    merged = dict(
-        list(_flatten_params(model.params).items())
-    )
-    for k, v in new_adapter.items():
-        merged[k] = v
-    model.swap_params(_unflatten_params(merged))
+    model.swap_params(merge_adapter_params(new_adapter, frozen))
     out["adapter_swap_inproc_s"] = round(time.perf_counter() - t0, 5)
 
     # Cross-process: safetensors on disk -> device -> swap.
@@ -751,18 +753,6 @@ def run_real_ckpt_bench(
 
         gc.collect()
     return out
-
-
-def _flatten_params(params):
-    from mlx_parallm_tpu.core import params as _P
-
-    return _P.flatten(params)
-
-
-def _unflatten_params(flat):
-    from mlx_parallm_tpu.core import params as _P
-
-    return _P.unflatten(flat)
 
 
 def main() -> int:

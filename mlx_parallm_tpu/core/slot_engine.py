@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling
-from .engine import SamplingParams, _bucket_len, _host_copy_async
+from .engine import SamplingParams, _host_copy_async
 from .loader import Model
 
 logger = logging.getLogger(__name__)
@@ -48,6 +48,23 @@ logger = logging.getLogger(__name__)
 from .cache import hot_bucket as _hot_bucket  # noqa: E402
 from .cache import merge_cache as _merge_cache  # noqa: E402
 from .cache import slice_cache as _slice_cache  # noqa: E402
+
+
+def _feed_bucket(t: int) -> int:
+    """Power-of-two prefill feed bucket, floored at 128.
+
+    Admission prefill shapes must come from a SMALL, enumerable family
+    that :meth:`SlotEngine.warmup` can fully pre-compile: every distinct
+    (b_pad, t_pad, scratch) triple is its own ``prefill_commit`` program,
+    and a variant first hit by live traffic stalls every stream for the
+    compile (or the multi-second persistent-cache load). Finer 128-step
+    buckets (engine._bucket_len) would save a little masked prefill but
+    mint 8x the variants; prefix-hit suffixes (1-64 tokens) fold into the
+    128 floor rather than minting a 64-wide family."""
+    s = 128
+    while s < t:
+        s *= 2
+    return s
 
 
 @dataclasses.dataclass
@@ -547,11 +564,11 @@ class SlotEngine:
         # bimodally collapsed 625 -> 160 tok/s when the 512 bucket missed
         # the persistent cache). Admit one request per (bucket, sampler
         # mode) whose prompt length lands its first decode chunk exactly
-        # in that bucket.
-        s = _hot_bucket(
-            max(prompt_lens, default=128) + gen + 2 * self.chunk + 1,
-            self.capacity,
-        )
+        # in that bucket. Starting at 256 also walks plen_b through every
+        # power-of-two prefill feed bucket (_feed_bucket) above the width
+        # loop's 128, so live prompts of ANY length ≤ capacity find their
+        # (1, t_pad) prefill_commit variant already compiled.
+        s = 128
         while s < self.capacity:
             s *= 2
             plen_b = max(2, s - 2 * self.chunk - 2 - gen)
@@ -567,9 +584,15 @@ class SlotEngine:
                         _done.set()
                     return True
 
+                # Distinct leading token per bucket: an all-[1] prompt
+                # would prefix-HIT the width loop's stored prefixes and
+                # feed only the (1, 128) suffix shape — the full-width
+                # (1, t_pad) prefill variant this sweep exists to compile
+                # would be skipped and first-hit by live traffic instead.
                 self.submit(
                     SlotRequest(
-                        prompt_tokens=[1] * plen_b, params=sp,
+                        prompt_tokens=[3 + (s % 251)] + [1] * (plen_b - 1),
+                        params=sp,
                         on_token=bucket_cb,
                     )
                 )
@@ -663,7 +686,7 @@ class SlotEngine:
             b_pad = 1
             while b_pad < len(keys):
                 b_pad *= 2
-            if cur and b_pad * _bucket_len(max(1, max_len)) > max_area:
+            if cur and b_pad * _feed_bucket(max_len) > max_area:
                 parts.append(cur)
                 cur, cur_keys, cur_max = [], set(), 0
             cur.append(adm)
@@ -760,17 +783,28 @@ class SlotEngine:
                 lcp = 0
 
         feed_rows = [r[lcp:] for r in uniq_rows] if prefix_hit else uniq_rows
-        t_pad = _bucket_len(max(1, max(len(r) for r in feed_rows)))
+        # Floor the feed bucket at 128: a prefix-hit suffix (often 1-64
+        # tokens) or a short prompt would otherwise mint a 64-wide
+        # prefill_commit variant that warmup never compiled — measured in
+        # the round-5 serving bench as multi-second admission stalls
+        # mid-traffic while the (b,64) program compiled/loaded. Padding the
+        # feed to the standard 128 bucket costs microseconds of masked
+        # prefill; sharing the warmed jit signature saves seconds.
+        t_pad = _feed_bucket(max(len(r) for r in feed_rows))
+        # Bucket the scratch capacity geometrically (not `lcp + t_pad`
+        # exactly) so prefix-hit and miss admissions of similar total
+        # length land on the SAME scratch shape — every distinct scratch
+        # shape is another prefill_commit compile.
         scratch_cap = min(
             self.capacity,
-            max(_hot_bucket(max_len, self.capacity), lcp + t_pad),
+            _hot_bucket(max(max_len, lcp + t_pad), self.capacity),
         )
         if lcp + t_pad > scratch_cap:
             # Bucket rounding pushed past capacity: fall back to full
             # prefill (correctness over reuse).
             prefix_hit = False
             feed_rows = uniq_rows
-            t_pad = min(_bucket_len(max_len), scratch_cap)
+            t_pad = min(_feed_bucket(max_len), scratch_cap)
 
         tokens = np.zeros((b_pad, t_pad), dtype=np.int32)
         for i, r in enumerate(feed_rows):
